@@ -1,0 +1,233 @@
+"""Transformer/FFT-block building blocks (flax.linen).
+
+TPU-native re-design of the reference's conformer-style encoder layers
+(reference ``litfass/fastspeech2/model.py:38-122``): a torch
+TransformerEncoderLayer with the linear FFN swapped for two 1-D conv stacks
+(optionally depthwise-separable, the LightSpeech trick that keeps the 76M
+model from being ~1B — reference README.md:10). Post-norm residual order
+matches torch's default (norm_first=False).
+
+All sequence masks in this codebase are True = VALID (the reference uses
+True = padding; inverted once at the boundary).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lightningfastspeech2_tpu.core.config import StackConfig
+
+
+class PositionalEncoding(nn.Module):
+    """Classic sinusoidal additive positional encoding + dropout
+    (reference ``model.py:38-55``), precomputed as a constant."""
+
+    d_model: int
+    max_len: int = 5000
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        T = x.shape[1]
+        position = jnp.arange(self.max_len)[:, None].astype(jnp.float32)
+        div_term = jnp.exp(
+            jnp.arange(0, self.d_model, 2).astype(jnp.float32)
+            * (-math.log(10000.0) / self.d_model)
+        )
+        pe = jnp.zeros((self.max_len, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+        pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+        x = x + pe[None, :T, :].astype(x.dtype)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention, same math as torch nn.MultiheadAttention:
+    packed QKV projections, scaled dot product, key-padding mask, output
+    projection."""
+
+    hidden: int
+    heads: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,  # (B, T) True = valid
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, T, H = x.shape
+        head_dim = self.hidden // self.heads
+        qkv = nn.Dense(3 * self.hidden, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(a):
+            return a.reshape(B, T, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(head_dim)
+        if mask is not None:
+            neg = jnp.finfo(scores.dtype).min
+            scores = jnp.where(mask[:, None, None, :], scores, neg)
+        probs = nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.hidden)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="out")(out)
+
+
+class ConvFFN(nn.Module):
+    """The conformer feed-forward: conv1 -> ReLU -> dropout -> conv2 ->
+    dropout (reference ``model.py:73-106,118-122``).
+
+    Depthwise mode mirrors the reference exactly, including its quirk that
+    conv2's grouped conv uses ``groups=conv_in`` over ``filter_size``
+    channels (group size filter/hidden, ``model.py:84-93``).
+    """
+
+    hidden: int
+    filter_size: int
+    kernel1: int
+    kernel2: int
+    depthwise: bool
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        conv = lambda feat, k, groups, name: nn.Conv(
+            features=feat,
+            kernel_size=(k,),
+            padding="SAME",
+            feature_group_count=groups,
+            dtype=self.dtype,
+            name=name,
+        )
+        if self.depthwise:
+            h = conv(self.hidden, self.kernel1, self.hidden, "conv1_depth")(x)
+            h = conv(self.filter_size, 1, 1, "conv1_point")(h)
+        else:
+            h = conv(self.filter_size, self.kernel1, 1, "conv1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.depthwise:
+            h = conv(self.filter_size, self.kernel2, self.hidden, "conv2_group")(h)
+            h = conv(self.hidden, 1, 1, "conv2_point")(h)
+        else:
+            h = conv(self.hidden, self.kernel2, 1, "conv2")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class LinearFFN(nn.Module):
+    """Vanilla transformer FFN fallback (non-conformer path,
+    reference ``fastspeech2.py:288-295``)."""
+
+    hidden: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.hidden, dtype=self.dtype)(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class FFTBlock(nn.Module):
+    """One encoder layer: post-norm MHA + conv-FFN residual blocks
+    (reference ``model.py:108-122``)."""
+
+    hidden: int
+    heads: int
+    kernel1: int
+    kernel2: int
+    filter_size: int
+    depthwise: bool
+    conformer: bool = True
+    dim_feedforward: Optional[int] = None
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        additional_src: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        # re-injected embedding at every layer: the reference *intended*
+        # this (fastspeech2.py:679-683) but its layers never accepted the
+        # argument; implemented properly here (SURVEY.md "defects to not
+        # replicate").
+        if additional_src is not None:
+            x = x + additional_src
+        sa = SelfAttention(self.hidden, self.heads, self.dropout, self.dtype)(
+            x, mask, deterministic
+        )
+        sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + sa)
+        if self.conformer:
+            ff = ConvFFN(
+                self.hidden,
+                self.filter_size,
+                self.kernel1,
+                self.kernel2,
+                self.depthwise,
+                self.dropout,
+                self.dtype,
+            )(x, deterministic)
+        else:
+            ff = LinearFFN(
+                self.hidden,
+                self.dim_feedforward or self.filter_size,
+                self.dropout,
+                self.dtype,
+            )(x, deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
+
+
+class FFTStack(nn.Module):
+    """Encoder/decoder stack of FFT blocks with per-layer kernel sizes.
+
+    The reference builds layer i with ``conv_kernel=(kernel_sizes[i], 1)``
+    (``fastspeech2.py:276-286``): conv1 uses the per-layer kernel, conv2 is
+    always pointwise (kernel 1)."""
+
+    cfg: StackConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        additional_src: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        kernels = c.kernel_sizes if c.conformer else (3,) * c.layers
+        for i in range(c.layers):
+            x = FFTBlock(
+                hidden=c.hidden,
+                heads=c.heads,
+                kernel1=kernels[i],
+                kernel2=1,
+                filter_size=c.conv_filter_size,
+                depthwise=c.depthwise,
+                conformer=c.conformer,
+                dim_feedforward=c.dim_feedforward,
+                dropout=c.dropout,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(x, mask, deterministic, additional_src)
+        return x
