@@ -1,0 +1,153 @@
+"""pjit'd training/eval steps.
+
+The reference delegates the step loop to PyTorch Lightning
+(reference ``fastspeech2.py:786-797`` + Trainer). Here the step is a single
+jitted program over the ``('data','model')`` mesh: batch sharded over
+``data``, params replicated (the 76M model fits per chip — BASELINE.json),
+gradient all-reduce emitted by XLA from the sharding annotations, riding
+ICI. Gradient accumulation (``--accumulate_grad_batches 12`` analog,
+scripts/train.sh:7) is a ``lax.scan`` over a leading microbatch axis inside
+the same program; donated state keeps HBM flat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lightningfastspeech2_tpu.core.config import Config
+from lightningfastspeech2_tpu.models.fastspeech2 import FastSpeech2
+from lightningfastspeech2_tpu.train.losses import compute_losses
+from lightningfastspeech2_tpu.train.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    model: FastSpeech2, cfg: Config, rng: jax.Array, batch: Dict[str, jnp.ndarray]
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        batch,
+        deterministic=True,
+    )
+    optimizer = make_optimizer(cfg.train)
+    opt_state = optimizer.init(variables["params"])
+    return (
+        TrainState(variables["params"], opt_state, jnp.zeros((), jnp.int32)),
+        optimizer,
+    )
+
+
+def _loss_fn(params, model, cfg, batch, rng, tf, frozen):
+    out = model.apply(
+        {"params": params},
+        batch,
+        deterministic=False,
+        tf=tf,
+        rngs={"dropout": rng},
+    )
+    losses = compute_losses(out, batch, cfg, frozen)
+    return losses["total"], losses
+
+
+def make_train_step(
+    model: FastSpeech2,
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
+
+    ``batch`` arrays may have a leading microbatch axis (A, B, ...) for
+    gradient accumulation; grads are averaged over microbatches before one
+    optimizer update. Teacher forcing flag ``tf`` is static (two program
+    variants at most).
+    """
+
+    def step(state: TrainState, batch, rng, tf: bool = True,
+             frozen: Tuple[str, ...] = ()):
+        accum = batch["mel"].ndim == 4  # leading microbatch axis present
+
+        grad_fn = jax.grad(_loss_fn, has_aux=True)
+
+        if accum:
+            n_micro = batch["mel"].shape[0]
+
+            def micro(carry, xs):
+                grads_acc, losses_acc = carry
+                mb, r = xs
+                grads, losses = grad_fn(
+                    state.params, model, cfg, mb, r, tf, frozen
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                losses_acc = jax.tree_util.tree_map(jnp.add, losses_acc, losses)
+                return (grads_acc, losses_acc), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p), state.params
+            )
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+            rngs = jax.random.split(rng, n_micro)
+            (grads0, losses0) = grad_fn(state.params, model, cfg, mb0, rngs[0], tf, frozen)
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            (grads, losses), _ = jax.lax.scan(
+                micro, (grads0, losses0), (rest, rngs[1:])
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
+            losses = jax.tree_util.tree_map(lambda l: l / n_micro, losses)
+        else:
+            grads, losses = grad_fn(state.params, model, cfg, batch, rng, tf, frozen)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    donate_args = (0,) if donate else ()
+    if mesh is not None:
+        # state and metrics replicated; the batch arrives data-sharded via
+        # shard_batch_for_mesh and XLA inserts the gradient all-reduce
+        replicated = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            static_argnames=("tf", "frozen"),
+            donate_argnums=donate_args,
+            out_shardings=(replicated, replicated),
+        )
+    return jax.jit(step, static_argnames=("tf", "frozen"), donate_argnums=donate_args)
+
+
+def make_eval_step(model: FastSpeech2, cfg: Config):
+    """Teacher-forced loss pass + free-running forward (reference
+    validation_step, ``fastspeech2.py:799-827``)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(params, batch):
+        out = model.apply({"params": params}, batch, deterministic=True)
+        losses = compute_losses(out, batch, cfg)
+        out_inf = model.apply(
+            {"params": params}, batch, inference=True, deterministic=True
+        )
+        return losses, out, out_inf
+
+    return step
+
+
+def shard_batch_for_mesh(mesh: Mesh, batch, accum_axis: bool):
+    """Place host batch on the mesh: data-sharded over the (micro)batch
+    dim."""
+    spec = P(None, "data") if accum_axis else P("data")
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
