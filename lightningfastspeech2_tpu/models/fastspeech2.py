@@ -179,11 +179,10 @@ class FastSpeech2(nn.Module):
 
 
 def init_params(model: FastSpeech2, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
-    return model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        batch,
-        deterministic=True,
-    )
+    # jitted: eager init dispatches hundreds of tiny ops (very slow over a
+    # remote TPU link)
+    init = jax.jit(lambda rngs, b: model.init(rngs, b, deterministic=True))
+    return init({"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch)
 
 
 def param_count(params) -> int:

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lightningfastspeech2_tpu.core.config import StackConfig
+from lightningfastspeech2_tpu.ops.depthwise import DepthwiseConv1d, GroupedConv1d
 
 
 class PositionalEncoding(nn.Module):
@@ -101,26 +102,30 @@ class ConvFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        conv = lambda feat, k, groups, name: nn.Conv(
+        # grouped/depthwise convs use the shift-multiply formulation from
+        # ops/depthwise.py — XLA's feature_group_count lowering takes >300 s
+        # to compile on TPU for these shapes
+        conv = lambda feat, k, name: nn.Conv(
             features=feat,
             kernel_size=(k,),
             padding="SAME",
-            feature_group_count=groups,
             dtype=self.dtype,
             name=name,
         )
         if self.depthwise:
-            h = conv(self.hidden, self.kernel1, self.hidden, "conv1_depth")(x)
-            h = conv(self.filter_size, 1, 1, "conv1_point")(h)
+            h = DepthwiseConv1d(self.hidden, self.kernel1, dtype=self.dtype,
+                                name="conv1_depth")(x)
+            h = conv(self.filter_size, 1, "conv1_point")(h)
         else:
-            h = conv(self.filter_size, self.kernel1, 1, "conv1")(x)
+            h = conv(self.filter_size, self.kernel1, "conv1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.depthwise:
-            h = conv(self.filter_size, self.kernel2, self.hidden, "conv2_group")(h)
-            h = conv(self.hidden, 1, 1, "conv2_point")(h)
+            h = GroupedConv1d(self.filter_size, self.hidden, self.kernel2,
+                              dtype=self.dtype, name="conv2_group")(h)
+            h = conv(self.hidden, 1, "conv2_point")(h)
         else:
-            h = conv(self.hidden, self.kernel2, 1, "conv2")(h)
+            h = conv(self.hidden, self.kernel2, "conv2")(h)
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 

@@ -63,14 +63,10 @@ class VarianceConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         if self.depthwise:
-            h = nn.Conv(
-                x.shape[-1],
-                (self.kernel_size,),
-                padding="SAME",
-                feature_group_count=x.shape[-1],
-                dtype=self.dtype,
-                name="depth",
-            )(x)
+            from lightningfastspeech2_tpu.ops.depthwise import DepthwiseConv1d
+
+            h = DepthwiseConv1d(x.shape[-1], self.kernel_size, dtype=self.dtype,
+                                name="depth")(x)
             h = nn.Conv(self.filter_size, (1,), dtype=self.dtype, name="point")(h)
         else:
             h = nn.Conv(

@@ -35,11 +35,8 @@ class TrainState(NamedTuple):
 def create_train_state(
     model: FastSpeech2, cfg: Config, rng: jax.Array, batch: Dict[str, jnp.ndarray]
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        batch,
-        deterministic=True,
-    )
+    init = jax.jit(lambda rngs, b: model.init(rngs, b, deterministic=True))
+    variables = init({"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch)
     optimizer = make_optimizer(cfg.train)
     opt_state = optimizer.init(variables["params"])
     return (
