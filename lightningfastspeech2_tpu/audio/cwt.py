@@ -86,6 +86,28 @@ def decompose(signal: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     }
 
 
+def decompose_np(signal: np.ndarray) -> dict:
+    """Host-side (numpy) twin of :func:`decompose` for the ragged data
+    pipeline — identical math, no per-length recompilation."""
+    signal = np.asarray(signal, dtype=np.float64).copy()
+    signal[signal == 0] = 1e-7
+    original = signal.copy()
+    log_sig = np.log(signal)
+    mean, std = log_sig.mean(), log_sig.std()
+    normed = (log_sig - mean) / (std + 1e-7)
+    rows = []
+    for width, c in zip(scale_widths(), scale_constants()):
+        points = int(min(10 * width, len(signal)))
+        rows.append(np.convolve(normed, ricker(points, width), mode="same") * c)
+    return {
+        "signal": log_sig,
+        "original_signal": original,
+        "spectrogram": np.stack(rows).T,
+        "mean": mean,
+        "std": std,
+    }
+
+
 def recompose(spectrogram: jnp.ndarray, mean, std) -> jnp.ndarray:
     """Inverse transform (cwt.py:18-21,48-50): sum scales (last axis),
     z-renormalize, then rescale by the predicted mean/std."""

@@ -29,7 +29,8 @@ def frame_energy(wav: jnp.ndarray, hop_length: int = 256,
     csum = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sq)])
     starts = jnp.minimum(jnp.arange(n_frames) * hop_length, n)
     ends = jnp.minimum(starts + win_length, n)
-    window_sums = csum[ends] - csum[starts]
+    # clamp: float cumsum differences can dip microscopically below zero
+    window_sums = jnp.maximum(csum[ends] - csum[starts], 0.0)
     return jnp.sqrt(window_sums / win_length)
 
 

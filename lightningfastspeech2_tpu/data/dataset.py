@@ -1,0 +1,474 @@
+"""Online-prosody TTS dataset over forced-aligned corpora.
+
+Re-design of the reference's ``TTSDataset``
+(reference ``litfass/dataset/datasets.py:47-1041``) with the coupling
+inverted (SURVEY.md §1 quirk): the dataset is independent of the model, and
+batches are collated to STATIC bucket shapes for XLA.
+
+Per-utterance pipeline (mirrors ``__getitem__``, ``datasets.py:355-474``):
+ wav -> resample -> [start:end] slice -> peak normalize
+     -> log-mel (T, 80)                        audio/mel.py
+     -> durations (+ augmentation)             data/alignment.py
+     -> silence masks (expanded + phone level)
+     -> variances: pitch (NaN at silence, interpolated), energy,
+        WADA SNR, [SRMR]                       audio/{pitch,features,snr}.py
+     -> phone-level averaging / cwt / log / z-norm transforms
+     -> utterance priors over non-silent frames
+
+Feature extraction runs through jitted JAX on the host CPU backend, padded
+to wav-length buckets so each bucket compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import hashlib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lightningfastspeech2_tpu.audio import cwt as cwt_mod
+from lightningfastspeech2_tpu.audio import features, mel as mel_mod, pitch as pitch_mod
+from lightningfastspeech2_tpu.audio import snr as snr_mod
+from lightningfastspeech2_tpu.core.bucketing import Bucketer, pad_batch, round_up
+from lightningfastspeech2_tpu.core.config import AudioConfig
+from lightningfastspeech2_tpu.data import wav as wav_io
+from lightningfastspeech2_tpu.data.alignment import tier_to_alignment
+from lightningfastspeech2_tpu.data.textgrid import load as load_textgrid
+from lightningfastspeech2_tpu.data.vocab import SILENCE, Vocab, normalize_phone
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset knobs (reference ``datasets.py:48-128`` defaults)."""
+
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    min_length: float = 0.5   # seconds (datasets.py:83)
+    max_length: float = 32.0  # seconds (datasets.py:84)
+    variances: Tuple[str, ...] = ("pitch", "energy", "snr")
+    variance_levels: Tuple[str, ...] = ("frame", "frame", "frame")
+    variance_transforms: Tuple[str, ...] = ("none", "none", "none")
+    priors: Tuple[str, ...] = ()
+    augment_duration: float = 0.1
+    speaker_type: str = "dvector"
+    min_samples_per_speaker: int = 0
+    stat_entries: int = 10_000
+    stat_batch: int = 4
+    seed: int = 42
+    source_phoneset: str = "arpabet"
+    load_wav: bool = False
+    max_phones: int = 512
+    max_frames: int = 2816
+
+
+@dataclass
+class Entry:
+    utt_id: str
+    audio_path: Path
+    phones: List[str]
+    durations: np.ndarray
+    start: float
+    end: float
+    speaker: str
+    text: str = ""
+
+
+def _cpu_device():
+    import jax
+
+    return jax.local_devices(backend="cpu")[0]
+
+
+@functools.lru_cache(maxsize=64)
+def _extract_fn(wav_len: int, sr: int, n_fft: int, win: int, hop: int,
+                n_mels: int, fmin: float, fmax: float,
+                want_pitch: bool, want_snr: bool):
+    """Jitted per-wav-bucket feature extractor on the host CPU backend."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = AudioConfig(sampling_rate=sr, n_fft=n_fft, win_length=win,
+                      hop_length=hop, n_mels=n_mels, f_min=fmin, f_max=fmax)
+
+    def extract(wav):
+        out = {
+            "mel": mel_mod.mel_spectrogram(wav, cfg),
+            "energy": features.frame_energy(wav, hop, win),
+        }
+        if want_pitch:
+            out["pitch"] = pitch_mod.track(wav, sr, hop, win)
+        if want_snr:
+            out["snr"] = snr_mod.windowed_wada(wav, hop, win)
+        return out
+
+    return jax.jit(extract)
+
+
+class TTSDataset:
+    """Map-style dataset over a corpus directory of paired
+    ``<utt>.wav`` + ``<utt>.TextGrid`` files (speaker = first-level
+    subdirectory, LibriTTS layout)."""
+
+    def __init__(
+        self,
+        root: Optional[Path] = None,
+        cfg: DataConfig = DataConfig(),
+        entries: Optional[List[Entry]] = None,
+        vocab: Optional[Vocab] = None,
+        stats: Optional[Dict[str, Dict[str, float]]] = None,
+        speaker2dvector: Optional[Dict[str, np.ndarray]] = None,
+        compute_stats: bool = True,
+    ):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+        if entries is None:
+            assert root is not None
+            entries = self.scan(Path(root), cfg)
+        if cfg.min_samples_per_speaker > 0:
+            counts: Dict[str, int] = {}
+            for e in entries:
+                counts[e.speaker] = counts.get(e.speaker, 0) + 1
+            entries = [
+                e for e in entries if counts[e.speaker] >= cfg.min_samples_per_speaker
+            ]
+        # fixed-seed shuffle (datasets.py:143)
+        order = np.random.default_rng(cfg.seed).permutation(len(entries))
+        self.entries = [entries[i] for i in order]
+
+        self.vocab = vocab or Vocab(
+            p for e in self.entries for p in e.phones
+        )
+        self.speakers = sorted({e.speaker for e in self.entries})
+        self.speaker2id = {s: i for i, s in enumerate(self.speakers)}
+        self.speaker2dvector = speaker2dvector or {}
+        self.speaker2priors: Dict[str, Dict[str, np.ndarray]] = {}
+
+        self.stats = stats
+        if self.stats is None and compute_stats:
+            self.stats = self._create_stats()
+
+    # ------------------------------------------------------------ scanning
+    @staticmethod
+    def scan(root: Path, cfg: DataConfig) -> List[Entry]:
+        entries = []
+        sr, hop = cfg.audio.sampling_rate, cfg.audio.hop_length
+        for tg_path in sorted(root.rglob("*.TextGrid")):
+            wav_path = tg_path.with_suffix(".wav")
+            if not wav_path.exists():
+                continue
+            try:
+                tg = load_textgrid(tg_path)
+                tier = tg.tier("phones")
+            except (ValueError, KeyError):
+                continue
+            phones, durations, start, end = tier_to_alignment(tier, sr, hop)
+            if not phones:
+                continue
+            length = end - start
+            if length < cfg.min_length or length > cfg.max_length:
+                continue
+            phones = [normalize_phone(p, cfg.source_phoneset) for p in phones]
+            if len(phones) > cfg.max_phones:
+                continue
+            rel = tg_path.relative_to(root)
+            speaker = rel.parts[0] if len(rel.parts) > 1 else "speaker0"
+            text = ""
+            try:
+                words = tg.tier("words")
+                text = " ".join(iv.text for iv in words.intervals if iv.text)
+            except KeyError:
+                pass
+            entries.append(
+                Entry(
+                    utt_id=tg_path.stem,
+                    audio_path=wav_path,
+                    phones=phones,
+                    durations=np.asarray(durations, dtype=np.int64),
+                    start=start,
+                    end=end,
+                    speaker=speaker,
+                    text=text,
+                )
+            )
+        return entries
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    # ------------------------------------------------------------- getitem
+    def _load_audio(self, entry: Entry) -> np.ndarray:
+        sr = self.cfg.audio.sampling_rate
+        wav, in_sr = wav_io.read(entry.audio_path)
+        wav = wav_io.resample(wav, in_sr, sr)
+        start = int(sr * entry.start)
+        end = int(sr * entry.end)
+        wav = wav[start:end]
+        peak = np.max(np.abs(wav)) if len(wav) else 1.0
+        return (wav / max(peak, 1e-9)).astype(np.float32)
+
+    def _extract(self, wav: np.ndarray) -> Dict[str, np.ndarray]:
+        a = self.cfg.audio
+        # pad wav to a bucket so the jitted extractor compiles once/bucket
+        bucket = round_up(max(len(wav), a.hop_length), a.hop_length * 256)
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[: len(wav)] = wav
+        fn = _extract_fn(
+            bucket, a.sampling_rate, a.n_fft, a.win_length, a.hop_length,
+            a.n_mels, a.f_min, a.f_max,
+            "pitch" in self.cfg.variances, "snr" in self.cfg.variances,
+        )
+        import jax
+
+        # host-side extraction stays on the CPU backend even when the
+        # default device is a (possibly remote) TPU
+        with jax.default_device(_cpu_device()):
+            out = {k: np.asarray(v) for k, v in fn(padded).items()}
+        n_frames = 1 + len(wav) // a.hop_length
+        return {k: v[:n_frames] for k, v in out.items()}
+
+    def __getitem__(self, idx: int, augment: bool = True) -> Dict[str, Any]:
+        entry = self.entries[idx]
+        cfg = self.cfg
+        wav = self._load_audio(entry)
+        feats = self._extract(wav)
+
+        durations = entry.durations.copy()
+        if augment and cfg.augment_duration > 0:
+            durations = features.augment_durations(
+                durations, self.rng, cfg.augment_duration
+            )
+        dur_sum = int(durations.sum())
+
+        phone_ids = np.asarray(self.vocab.encode(entry.phones), dtype=np.int64)
+        unexpanded_silence = np.asarray(
+            [p.startswith("[") for p in entry.phones], dtype=bool
+        )
+        silence_mask = features.expand_by_duration(unexpanded_silence, durations)
+
+        mel = feats["mel"][:dur_sum]
+
+        variances: Dict[str, Any] = {}
+        for i, var in enumerate(cfg.variances):
+            sig = feats[var][:dur_sum].astype(np.float64).copy()
+            sm = silence_mask[: len(sig)]
+            if var == "pitch":
+                sig[sig == 0] = np.nan
+                sig[sm] = np.nan
+                if np.isnan(sig).all():
+                    sig[:] = 1e-7
+                sig = features.interpolate_nans(sig)
+            elif var == "snr":
+                sig[sm] = np.nan
+                if np.isnan(sig).all():
+                    sig = np.zeros_like(sig)
+                else:
+                    sig = features.interpolate_nans(sig)
+            if cfg.variance_levels[i] == "phone":
+                sig = features.phone_average(sig, durations)
+            transform = cfg.variance_transforms[i]
+            if transform == "cwt":
+                variances[var] = cwt_mod.decompose_np(sig)
+            elif transform == "log":
+                variances[var] = np.log(np.maximum(sig, 1e-10))
+            elif self.stats is not None:
+                st = self.stats[var]
+                variances[var] = (sig - st["mean"]) / st["std"]
+            else:
+                variances[var] = sig
+
+        priors: Dict[str, float] = {}
+        for var in cfg.priors:
+            if var == "duration":
+                priors[var] = float(np.mean(durations[~unexpanded_silence]))
+                continue
+            i = cfg.variances.index(var)
+            val = variances[var]
+            if isinstance(val, dict):
+                val = val["original_signal"]
+            mean = std = None
+            if self.stats is not None and var in self.stats:
+                mean, std = self.stats[var]["mean"], self.stats[var]["std"]
+            else:
+                mean, std = 0.0, 1.0
+            if cfg.variance_levels[i] == "phone":
+                sel = val[~unexpanded_silence[: len(val)]]
+            else:
+                sel = val[~silence_mask[: len(val)]]
+            if len(sel) == 0:
+                sel = val
+            priors[var] = float(np.mean(sel * std + mean))
+
+        item: Dict[str, Any] = {
+            "id": entry.utt_id,
+            "phones": phone_ids,
+            "duration": durations.astype(np.int64),
+            "mel": mel.astype(np.float32),
+            "silence_mask": silence_mask,
+            "unexpanded_silence_mask": unexpanded_silence,
+            "text": entry.text,
+            "speaker_key": entry.speaker,
+        }
+        for var, val in variances.items():
+            if isinstance(val, dict):
+                item[f"variances_{var}_signal"] = np.exp(val["signal"]).astype(
+                    np.float32
+                )
+                item[f"variances_{var}_spectrogram"] = val["spectrogram"].astype(
+                    np.float32
+                )
+                item[f"variances_{var}_mean"] = np.float32(val["mean"])
+                item[f"variances_{var}_std"] = np.float32(val["std"])
+            else:
+                item[f"variances_{var}"] = val.astype(np.float32)
+        for var, val in priors.items():
+            item[f"priors_{var}"] = np.float32(val)
+
+        if cfg.speaker_type == "dvector":
+            dvec = self.speaker2dvector.get(entry.speaker)
+            if dvec is None:
+                dvec = _hash_dvector(entry.speaker)
+            item["speaker"] = dvec.astype(np.float32)
+        elif cfg.speaker_type == "id":
+            item["speaker"] = np.int64(self.speaker2id[entry.speaker])
+
+        if cfg.load_wav:
+            item["wav"] = wav
+        return item
+
+    # --------------------------------------------------------------- stats
+    def _create_stats(self) -> Dict[str, Dict[str, float]]:
+        """Streaming corpus statistics over the first ``stat_entries`` items
+        (reference ``datasets.py:214-304,744-794``)."""
+        n = min(len(self.entries), self.cfg.stat_entries)
+        acc: Dict[str, List[np.ndarray]] = {}
+        for idx in range(n):
+            item = self.__getitem__(idx, augment=False)
+            for i, var in enumerate(self.cfg.variances):
+                if self.cfg.variance_transforms[i] == "cwt":
+                    vals = np.log(item[f"variances_{var}_signal"]).ravel()
+                else:
+                    vals = item[f"variances_{var}"].ravel()
+                acc.setdefault(var, []).append(vals)
+            acc.setdefault("mel", []).append(item["mel"].ravel())
+            acc.setdefault("duration", []).append(
+                item["duration"].astype(np.float64)
+            )
+        stats: Dict[str, Dict[str, float]] = {}
+        for key, chunks in acc.items():
+            allv = np.concatenate(chunks)
+            allv = allv[np.isfinite(allv)]
+            stats[key] = {
+                "min": float(allv.min()),
+                "max": float(allv.max()),
+                "mean": float(allv.mean()),
+                "std": float(max(allv.std(), 1e-7)),
+            }
+        # priors stats
+        for var in self.cfg.priors:
+            vals = []
+            for idx in range(n):
+                item = self.__getitem__(idx, augment=False)
+                vals.append(float(item[f"priors_{var}"]))
+            v = np.asarray(vals)
+            stats[f"priors_{var}"] = {
+                "min": float(v.min()), "max": float(v.max()),
+                "mean": float(v.mean()), "std": float(max(v.std(), 1e-7)),
+            }
+        return stats
+
+    def create_validation_dataset(self, root: Path) -> "TTSDataset":
+        """Validation split sharing vocab + stats (datasets.py:315)."""
+        entries = self.scan(Path(root), self.cfg)
+        return TTSDataset(
+            cfg=self.cfg, entries=entries, vocab=self.vocab, stats=self.stats,
+            speaker2dvector=self.speaker2dvector, compute_stats=False,
+        )
+
+    def create_priors(self) -> Dict[str, Dict[str, np.ndarray]]:
+        """Per-speaker arrays of utterance priors
+        (reference ``_create_priors``, datasets.py:476-544)."""
+        per_speaker: Dict[str, Dict[str, List[float]]] = {}
+        for idx in range(len(self.entries)):
+            item = self.__getitem__(idx, augment=False)
+            spk = item["speaker_key"]
+            for var in self.cfg.priors:
+                per_speaker.setdefault(spk, {}).setdefault(var, []).append(
+                    float(item[f"priors_{var}"])
+                )
+        self.speaker2priors = {
+            spk: {var: np.asarray(vals) for var, vals in d.items()}
+            for spk, d in per_speaker.items()
+        }
+        return self.speaker2priors
+
+    # -------------------------------------------------------------- batching
+    def sort_by_duration(self) -> None:
+        """Length-sorted order for low-padding bucketed batching
+        (datasets.py:884-886)."""
+        self.entries.sort(key=lambda e: int(e.durations.sum()))
+
+    def collate(self, items: Sequence[Dict[str, Any]],
+                bucketer: Optional[Bucketer] = None) -> Dict[str, np.ndarray]:
+        return collate(items, self.cfg, bucketer)
+
+
+def _hash_dvector(speaker: str, dim: int = 256) -> np.ndarray:
+    """Deterministic placeholder d-vector when no table is loaded (real
+    d-vectors come from data/dvector.py)."""
+    seed = int(hashlib.md5(speaker.encode()).hexdigest()[:8], 16)
+    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+def collate(
+    items: Sequence[Dict[str, Any]],
+    cfg: DataConfig,
+    bucketer: Optional[Bucketer] = None,
+) -> Dict[str, np.ndarray]:
+    """Static-shape collation (reference ``_collate_fn``
+    ``datasets.py:852-882``, made uniform): pad phones/frames to the batch
+    bucket, attach ``*_lengths``."""
+    bucketer = bucketer or Bucketer(cfg.max_phones, cfg.max_frames)
+    P = bucketer.phone_bucket(max(len(i["phones"]) for i in items))
+    T = bucketer.frame_bucket(max(i["mel"].shape[0] for i in items))
+
+    batch: Dict[str, np.ndarray] = {
+        "phones": pad_batch([i["phones"] for i in items], P),
+        "duration": pad_batch([i["duration"] for i in items], P),
+        "mel": pad_batch([i["mel"] for i in items], T),
+        "phones_lengths": np.asarray([len(i["phones"]) for i in items]),
+        "mel_lengths": np.asarray([i["mel"].shape[0] for i in items]),
+        # silence masks pad with 1 (datasets.py:866-870)
+        "silence_mask": pad_batch(
+            [i["silence_mask"] for i in items], T, value=1
+        ),
+    }
+    for i_var, var in enumerate(cfg.variances):
+        L = P if cfg.variance_levels[i_var] == "phone" else T
+        if cfg.variance_transforms[i_var] == "cwt":
+            batch[f"variances_{var}_signal"] = pad_batch(
+                [i[f"variances_{var}_signal"] for i in items], L
+            )
+            batch[f"variances_{var}_spectrogram"] = pad_batch(
+                [i[f"variances_{var}_spectrogram"] for i in items], L
+            )
+            batch[f"variances_{var}_mean"] = np.asarray(
+                [i[f"variances_{var}_mean"] for i in items]
+            )
+            batch[f"variances_{var}_std"] = np.asarray(
+                [i[f"variances_{var}_std"] for i in items]
+            )
+        else:
+            batch[f"variances_{var}"] = pad_batch(
+                [i[f"variances_{var}"] for i in items], L
+            )
+    for var in cfg.priors:
+        batch[f"priors_{var}"] = np.asarray([i[f"priors_{var}"] for i in items])
+    if cfg.speaker_type != "none":
+        batch["speaker"] = np.stack([i["speaker"] for i in items])
+    if cfg.load_wav and "wav" in items[0]:
+        wav_len = T * cfg.audio.hop_length
+        batch["wav"] = pad_batch([i["wav"] for i in items], wav_len)
+    return batch

@@ -52,6 +52,10 @@ def _unquote(s: str) -> str:
 
 def parse(text: str) -> TextGrid:
     """Parse TextGrid file contents (auto-detects long/short form)."""
+    # long-form index brackets ("item [1]:", "intervals [12]:") would read
+    # as numbers — strip them first (quoted phone labels never contain
+    # bracketed digits)
+    text = re.sub(r"\[[0-9]*\]", "", text)
     # tokenize: quoted strings and numbers, in order
     tokens: List[Union[float, str]] = []
     i = 0
@@ -131,6 +135,10 @@ def load(path: Union[str, Path]) -> TextGrid:
     raise ValueError(f"cannot decode {path}")
 
 
+def _quote(s: str) -> str:
+    return s.replace('"', '""')
+
+
 def dump(tg: TextGrid) -> str:
     """Serialize to long-form TextGrid (used by tests/synthetic corpora)."""
     lines = [
@@ -147,7 +155,7 @@ def dump(tg: TextGrid) -> str:
         lines += [
             f"    item [{ti}]:",
             '        class = "IntervalTier"',
-            f'        name = "{tier.name}"',
+            f'        name = "{_quote(tier.name)}"',
             f"        xmin = {tg.xmin}",
             f"        xmax = {tg.xmax}",
             f"        intervals: size = {len(tier.intervals)}",
@@ -157,6 +165,6 @@ def dump(tg: TextGrid) -> str:
                 f"        intervals [{ii}]:",
                 f"            xmin = {iv.start}",
                 f"            xmax = {iv.end}",
-                f'            text = "{iv.text}"',
+                f'            text = "{_quote(iv.text)}"',
             ]
     return "\n".join(lines) + "\n"

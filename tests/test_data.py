@@ -1,0 +1,148 @@
+"""Data layer tests: TextGrid parsing, alignment semantics, synthetic-corpus
+dataset pipeline, stats, and static-shape collation."""
+
+import numpy as np
+import pytest
+
+from lightningfastspeech2_tpu.core.bucketing import Bucketer
+from lightningfastspeech2_tpu.core.config import AudioConfig
+from lightningfastspeech2_tpu.data import textgrid as tg_mod
+from lightningfastspeech2_tpu.data.alignment import tier_to_alignment
+from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset, collate
+from lightningfastspeech2_tpu.data.synthetic import make_corpus
+from lightningfastspeech2_tpu.data.vocab import SILENCE, Vocab, normalize_phone
+
+
+def test_textgrid_roundtrip(tmp_path):
+    tg = tg_mod.TextGrid(
+        0.0, 1.0,
+        (
+            tg_mod.Tier("words", (tg_mod.Interval(0.0, 1.0, 'he said "hi"'),)),
+            tg_mod.Tier(
+                "phones",
+                (
+                    tg_mod.Interval(0.0, 0.4, "HH"),
+                    tg_mod.Interval(0.4, 1.0, "AY1"),
+                ),
+            ),
+        ),
+    )
+    path = tmp_path / "x.TextGrid"
+    path.write_text(tg_mod.dump(tg))
+    parsed = tg_mod.load(path)
+    assert parsed.tier("phones").intervals[1].text == "AY1"
+    assert parsed.tier("words").intervals[0].text == 'he said "hi"'
+    assert parsed.xmax == 1.0
+
+
+def test_alignment_silence_handling():
+    sr, hop = 22050, 256
+    tier = tg_mod.Tier(
+        "phones",
+        (
+            tg_mod.Interval(0.0, 0.5, "sil"),    # leading silence trimmed
+            tg_mod.Interval(0.5, 0.7, "AA1"),
+            tg_mod.Interval(0.7, 0.8, "sp"),     # mid silence kept
+            tg_mod.Interval(0.9, 1.1, "IY0"),    # gap 0.8-0.9 -> extra sil
+            tg_mod.Interval(1.1, 1.5, ""),       # trailing silence trimmed
+        ),
+    )
+    phones, durations, start, end = tier_to_alignment(tier, sr, hop)
+    assert phones == ["AA1", "sil", "sil", "IY0"]
+    # reference semantics (audio_utils.py:66-89): end_time tracks EVERY
+    # interval including the trailing silence, whose frames get folded into
+    # the last real phone by the rounding repair
+    assert start == 0.5 and end == 1.5
+    assert sum(durations) == int(np.ceil(((1.5 - 0.5) * sr - 1) / hop))
+
+
+def test_vocab_and_phone_normalization():
+    assert normalize_phone("sil") == SILENCE
+    assert normalize_phone("AA1") == "ɑ"
+    assert normalize_phone("CH0") == "tʃ"
+    v = Vocab(["ɑ", "tʃ", SILENCE])
+    assert v.phone2id["[PAD]"] == 0
+    assert v.decode(v.encode(["ɑ", SILENCE])) == ["ɑ", SILENCE]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    return make_corpus(root, n_speakers=2, n_utts=3, seed=0)
+
+
+@pytest.fixture(scope="module")
+def dataset(corpus):
+    cfg = DataConfig(
+        variances=("pitch", "energy", "snr"),
+        variance_levels=("frame", "frame", "frame"),
+        variance_transforms=("none", "none", "none"),
+        priors=("pitch", "duration"),
+        augment_duration=0.0,
+        speaker_type="dvector",
+        stat_entries=4,
+        max_phones=64,
+        max_frames=512,
+    )
+    return TTSDataset(root=corpus, cfg=cfg)
+
+
+def test_dataset_scan_and_vocab(dataset):
+    assert len(dataset) == 6
+    assert len(dataset.vocab) > 3
+    assert len(dataset.speakers) == 2
+
+
+def test_dataset_item_consistency(dataset):
+    item = dataset[0]
+    dur_sum = int(item["duration"].sum())
+    assert item["mel"].shape == (dur_sum, 80)
+    assert np.isfinite(item["mel"]).all()
+    for var in ("pitch", "energy", "snr"):
+        assert item[f"variances_{var}"].shape[0] == dur_sum
+        assert np.isfinite(item[f"variances_{var}"]).all()
+    assert item["silence_mask"].shape[0] == dur_sum
+    assert np.isfinite(item["priors_pitch"])
+    assert item["speaker"].shape == (256,)
+    # z-normalized variances should be roughly centered
+    assert abs(item["variances_energy"].mean()) < 5.0
+
+
+def test_dataset_stats(dataset):
+    stats = dataset.stats
+    for key in ("pitch", "energy", "snr", "mel", "duration", "priors_pitch"):
+        assert key in stats
+        s = stats[key]
+        assert s["min"] <= s["mean"] <= s["max"]
+        assert s["std"] > 0
+    # pitch stats should be in plausible Hz range for the synthetic vowels
+    assert 50 < stats["pitch"]["mean"] < 400
+
+
+def test_collate_static_shapes(dataset):
+    items = [dataset[i] for i in range(4)]
+    batch = dataset.collate(items, Bucketer(max_phones=64, max_frames=512,
+                                            phone_step=16, frame_step=128))
+    P, T = batch["phones"].shape[1], batch["mel"].shape[1]
+    assert P % 16 == 0 and T % 128 == 0
+    assert batch["mel"].shape == (4, T, 80)
+    assert batch["duration"].shape == (4, P)
+    assert batch["variances_pitch"].shape == (4, T)
+    assert batch["speaker"].shape == (4, 256)
+    # padding is zeros for phones
+    for b, n in enumerate(batch["phones_lengths"]):
+        assert (batch["phones"][b, n:] == 0).all()
+
+
+def test_validation_dataset_shares_stats(dataset, corpus):
+    valid = dataset.create_validation_dataset(corpus)
+    assert valid.stats is dataset.stats
+    assert valid.vocab.phone2id == dataset.vocab.phone2id
+
+
+def test_priors_per_speaker(dataset):
+    priors = dataset.create_priors()
+    assert set(priors) == set(dataset.speakers)
+    for spk, d in priors.items():
+        assert set(d) == {"pitch", "duration"}
+        assert len(d["pitch"]) == 3
