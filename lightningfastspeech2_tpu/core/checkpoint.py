@@ -1,0 +1,143 @@
+"""Checkpoint / resume.
+
+The reference enriches Lightning ``.ckpt`` pickles with non-tensor state so
+inference needs no dataset (reference ``fastspeech2.py:622-634,530-620``).
+Here (SURVEY.md §5.4): orbax for the jax pytrees {params, opt_state, step}
++ a JSON/NPZ sidecar for config, stats, vocab, and speaker tables. Atomic
+per-step directories, ``latest`` resolution, and a warm-start mode that
+drops shape-mismatched tensors like the reference's ``strict=False`` load
+(``fastspeech2.py:599-620``).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from lightningfastspeech2_tpu.core import config as C
+
+
+class Checkpointer:
+    def __init__(self, directory):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    # ------------------------------------------------------------------ save
+    def save(
+        self,
+        step: int,
+        state: Any,
+        cfg: Optional[C.Config] = None,
+        sidecar: Optional[Dict[str, Any]] = None,
+    ) -> Path:
+        """sidecar may contain: stats (dict), phone2id (dict),
+        speaker2id (dict), speaker2dvector {name: np.ndarray},
+        speaker2priors {name: {prior: np.ndarray}}."""
+        path = self.dir / f"step_{step:08d}"
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(
+            path / "tree",
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+        )
+        if cfg is not None:
+            C.save_json(cfg, str(path / "config.json"))
+        if sidecar:
+            json_side = {}
+            np_side: Dict[str, np.ndarray] = {}
+            for key, value in sidecar.items():
+                if key == "speaker2dvector":
+                    for name, vec in value.items():
+                        np_side[f"dvec::{name}"] = np.asarray(vec)
+                elif key == "speaker2priors":
+                    for name, priors in value.items():
+                        for prior, arr in priors.items():
+                            np_side[f"prior::{name}::{prior}"] = np.asarray(arr)
+                else:
+                    json_side[key] = value
+            (path / "sidecar.json").write_text(json.dumps(json_side))
+            if np_side:
+                np.savez(path / "sidecar.npz", **np_side)
+        (self.dir / "latest").write_text(path.name)
+        return path
+
+    # --------------------------------------------------------------- restore
+    def latest_path(self) -> Optional[Path]:
+        marker = self.dir / "latest"
+        if not marker.exists():
+            return None
+        path = self.dir / marker.read_text().strip()
+        return path if path.exists() else None
+
+    def restore(self, path: Optional[Path] = None, template: Any = None):
+        """Returns (tree, cfg, sidecar). ``template`` (a matching pytree of
+        arrays) restores with correct dtypes/shardings when given."""
+        path = Path(path) if path else self.latest_path()
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {self.dir}")
+        if template is not None:
+            tree = self._ckptr.restore(
+                path / "tree",
+                restore_args=self._ocp.checkpoint_utils.construct_restore_args(
+                    template
+                ),
+            )
+        else:
+            tree = self._ckptr.restore(path / "tree")
+        cfg = None
+        if (path / "config.json").exists():
+            cfg = C.load_json(str(path / "config.json"))
+        sidecar: Dict[str, Any] = {}
+        if (path / "sidecar.json").exists():
+            sidecar = json.loads((path / "sidecar.json").read_text())
+        if (path / "sidecar.npz").exists():
+            data = np.load(path / "sidecar.npz", allow_pickle=False)
+            dvec: Dict[str, np.ndarray] = {}
+            priors: Dict[str, Dict[str, np.ndarray]] = {}
+            for key in data.files:
+                if key.startswith("dvec::"):
+                    dvec[key[6:]] = data[key]
+                elif key.startswith("prior::"):
+                    _, name, prior = key.split("::")
+                    priors.setdefault(name, {})[prior] = data[key]
+            if dvec:
+                sidecar["speaker2dvector"] = dvec
+            if priors:
+                sidecar["speaker2priors"] = priors
+        return tree, cfg, sidecar
+
+
+def warm_start(params: Any, restored: Any) -> Tuple[Any, int, int]:
+    """Merge a restored params tree into a freshly-initialized one,
+    dropping mismatched shapes / unknown keys (the reference's tolerant
+    resume, ``fastspeech2.py:599-620``). Returns (merged, used, dropped)."""
+    import jax
+
+    used = dropped = 0
+    flat_new = jax.tree_util.tree_flatten_with_path(params)
+    flat_old = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+
+    merged_leaves = []
+    for path, leaf in flat_new[0]:
+        old = flat_old.get(path)
+        if old is not None and getattr(old, "shape", None) == leaf.shape:
+            merged_leaves.append(jax.numpy.asarray(old, leaf.dtype)
+                                 if hasattr(leaf, "dtype") else old)
+            used += 1
+        else:
+            merged_leaves.append(leaf)
+            dropped += 1
+    merged = jax.tree_util.tree_unflatten(flat_new[1], merged_leaves)
+    return merged, used, dropped

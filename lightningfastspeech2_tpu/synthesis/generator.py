@@ -1,0 +1,159 @@
+"""End-to-end speech generation service.
+
+Mirrors the reference's ``SpeechGenerator``
+(reference ``litfass/synthesis/generator.py:37-224``): text -> G2P -> phone
+ids; speaker selection (explicit, or random with priors available); prior
+selection (sample from the speaker's observed priors / GMM sample / CLI
+override); acoustic model inference; vocoder (HiFi-GAN, or FastDiff N-step
+when wired); waveform save. VoiceFixer/audiomentations post-processing are
+CPU-side hooks accepted as callables (the underlying packages are not
+available in this environment).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightningfastspeech2_tpu.core import config as C
+from lightningfastspeech2_tpu.core.bucketing import Bucketer, pad_to
+from lightningfastspeech2_tpu.data import wav as wav_io
+from lightningfastspeech2_tpu.data.vocab import Vocab
+from lightningfastspeech2_tpu.synthesis.g2p import G2P
+
+
+class SpeechGenerator:
+    def __init__(
+        self,
+        cfg: C.Config,
+        model,  # FastSpeech2 flax module
+        params,
+        vocab: Vocab,
+        g2p: G2P,
+        synthesiser: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        speaker2dvector: Optional[Dict[str, np.ndarray]] = None,
+        speaker2id: Optional[Dict[str, int]] = None,
+        speaker2priors: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+        speaker_gmms: Optional[Dict[str, Any]] = None,
+        postprocess: Optional[Callable[[np.ndarray, int], np.ndarray]] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.g2p = g2p
+        self.synthesiser = synthesiser
+        self.speaker2dvector = speaker2dvector or {}
+        self.speaker2id = speaker2id or {}
+        self.speaker2priors = speaker2priors or {}
+        self.speaker_gmms = speaker_gmms or {}
+        self.postprocess = postprocess
+        self.bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
+        self._infer = jax.jit(
+            lambda params, batch: self.model.apply(
+                {"params": params}, batch, inference=True, deterministic=True
+            )
+        )
+
+    @property
+    def sampling_rate(self) -> int:
+        return self.cfg.model.audio.sampling_rate
+
+    # ------------------------------------------------------------ text path
+    def text_to_ids(self, text: str) -> np.ndarray:
+        phones = self.g2p(text)
+        ids = [self.vocab.phone2id[p] for p in phones if p in self.vocab.phone2id]
+        return np.asarray(ids, dtype=np.int64)
+
+    def _pick_speaker(self, speaker: Optional[str], rng: np.random.Generator):
+        mcfg = self.cfg.model
+        if mcfg.speaker_type == "dvector":
+            if speaker is None:
+                names = list(self.speaker2dvector)
+                if self.cfg.model.priors and self.speaker2priors:
+                    names = [n for n in names if n in self.speaker2priors] or names
+                speaker = names[int(rng.integers(len(names)))]
+            return speaker, np.asarray(self.speaker2dvector[speaker], np.float32)
+        if mcfg.speaker_type == "id":
+            if speaker is None:
+                speaker = list(self.speaker2id)[int(rng.integers(len(self.speaker2id)))]
+            return speaker, np.int64(self.speaker2id[speaker])
+        return None, None
+
+    def _pick_priors(
+        self,
+        speaker_name: Optional[str],
+        strategy: str,
+        overrides: Optional[Dict[str, float]],
+        rng: np.random.Generator,
+    ) -> Dict[str, float]:
+        priors = self.cfg.model.priors
+        values: Dict[str, float] = {}
+        if not priors:
+            return values
+        if strategy == "sample" and speaker_name in self.speaker2priors:
+            history = self.speaker2priors[speaker_name]
+            idx = int(rng.integers(len(history[priors[0]])))
+            values = {p: float(history[p][idx]) for p in priors}
+        elif strategy == "gmm" and speaker_name in self.speaker_gmms:
+            sample = self.speaker_gmms[speaker_name].sample()[0][0]
+            values = {p: float(sample[i]) for i, p in enumerate(priors)}
+        else:
+            values = {p: 0.0 for p in priors}
+        for p, v in (overrides or {}).items():
+            if v != -1:
+                values[p] = v
+        return values
+
+    # ------------------------------------------------------------ synthesis
+    def generate_from_text(
+        self,
+        text: str,
+        speaker: Optional[str] = None,
+        seed: Optional[int] = None,
+        prior_strategy: str = "sample",
+        prior_values: Optional[Dict[str, float]] = None,
+    ) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        ids = self.text_to_ids(text)
+        P = self.bucketer.phone_bucket(len(ids))
+        batch: Dict[str, np.ndarray] = {
+            "phones": pad_to(ids, P)[None, :],
+        }
+        speaker_name, spk = self._pick_speaker(speaker, rng)
+        if spk is not None:
+            batch["speaker"] = np.asarray(spk)[None] if np.ndim(spk) else np.asarray(
+                [spk]
+            )
+        for p, v in self._pick_priors(
+            speaker_name, prior_strategy, prior_values, rng
+        ).items():
+            batch[f"priors_{p}"] = np.asarray([v], np.float32)
+        return self.generate_samples(batch)[0]
+
+    def generate_samples(self, batch: Dict[str, np.ndarray]) -> List[np.ndarray]:
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        result = self._infer(self.params, jbatch)
+        mels = np.asarray(result["mel"], np.float32)
+        mask = np.asarray(result["frame_mask"])
+        audios = []
+        for i in range(len(mels)):
+            mel = mels[i][mask[i]]
+            if self.synthesiser is not None:
+                wav = np.asarray(self.synthesiser(mel), np.float32)
+                if wav.ndim > 1:
+                    wav = wav[0]
+                wav = wav / 32768.0
+            else:  # no vocoder: return mel frames flattened as a stub signal
+                wav = mel.reshape(-1)
+            if self.postprocess is not None:
+                wav = self.postprocess(wav, self.sampling_rate)
+            audios.append(wav)
+        return audios
+
+    def save_audio(self, path, audio: np.ndarray) -> None:
+        wav_io.write(path, audio, self.sampling_rate)

@@ -1,0 +1,144 @@
+"""G2P, LogGMM, checkpointing, and end-to-end text->wav generation."""
+
+import numpy as np
+import pytest
+
+from lightningfastspeech2_tpu.data.vocab import SILENCE
+from lightningfastspeech2_tpu.synthesis.g2p import EnglishG2P, letter_to_sound
+from lightningfastspeech2_tpu.utils.log_gmm import LogGMM, fit_speaker_gmms
+
+
+def test_g2p_punctuation_and_silence():
+    g2p = EnglishG2P()
+    phones = g2p("hello world.")
+    assert phones[-1] == "[FULL STOP]"
+    assert SILENCE in phones
+    assert all(isinstance(p, str) and p for p in phones)
+
+
+def test_g2p_lexicon_priority(tmp_path):
+    lex = tmp_path / "lex.tsv"
+    lex.write_text("zzz\tHH AH0 L OW1\n")
+    g2p = EnglishG2P(str(lex))
+    phones = g2p("zzz")
+    assert phones[:4] == ["h", "ʌ", "l", "oʊ"]
+
+
+def test_letter_to_sound_basics():
+    assert letter_to_sound("sing") == ["S", "IH0", "NG"]
+    assert letter_to_sound("check")[0] == "CH"
+
+
+def test_log_gmm_roundtrip():
+    g = np.random.default_rng(0)
+    X = np.exp(g.standard_normal((200, 2))) * np.array([100.0, 5.0])
+    gmm = LogGMM(n_components=2, logs=[0, 1], random_state=0)
+    gmm.fit(X)
+    samples, _ = gmm.sample(500, random_state=1)
+    assert samples.shape == (500, 2)
+    # samples land in the data's support (log-space fit keeps positivity)
+    assert (samples > 0).mean() > 0.99
+    assert 0.2 < np.median(samples[:, 0]) / np.median(X[:, 0]) < 5.0
+
+
+def test_fit_speaker_gmms_bic_selection():
+    g = np.random.default_rng(1)
+    speaker2priors = {
+        "spk0": {"pitch": np.abs(g.standard_normal(60)) + 100,
+                 "duration": np.abs(g.standard_normal(60)) + 5},
+    }
+    gmms = fit_speaker_gmms(speaker2priors, ("pitch", "duration"),
+                            max_components=3, min_samples_per_component=20)
+    assert "spk0" in gmms
+    assert gmms["spk0"].gmm.n_components <= 3
+
+
+def test_checkpoint_save_restore(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from lightningfastspeech2_tpu.core import config as C
+    from lightningfastspeech2_tpu.core.checkpoint import Checkpointer, warm_start
+    from lightningfastspeech2_tpu.models.fastspeech2 import (
+        FastSpeech2, make_dummy_batch,
+    )
+    from lightningfastspeech2_tpu.train.step import create_train_state
+    from tests.test_model import tiny_config
+
+    cfg = tiny_config()
+    model = FastSpeech2(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in make_dummy_batch(cfg.model, 2, 8).items()}
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+
+    ck = Checkpointer(tmp_path / "ckpt")
+    sidecar = {
+        "stats": {"pitch": {"min": 50.0, "max": 400.0, "mean": 180.0, "std": 40.0}},
+        "phone2id": {"[PAD]": 0, "a": 1},
+        "speaker2dvector": {"spk0": np.ones(16, np.float32)},
+        "speaker2priors": {"spk0": {"pitch": np.arange(3.0)}},
+    }
+    ck.save(5, state, cfg, sidecar)
+
+    tree, cfg2, side2 = ck.restore()
+    assert int(tree["step"]) == int(state.step)
+    assert cfg2.model.max_phones == cfg.model.max_phones
+    assert side2["phone2id"]["a"] == 1
+    np.testing.assert_allclose(side2["speaker2dvector"]["spk0"], np.ones(16))
+    np.testing.assert_allclose(side2["speaker2priors"]["spk0"]["pitch"],
+                               np.arange(3.0))
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(tree["params"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # warm start drops mismatched shapes
+    cfg_big = C.replace(cfg, **{"model.vocab_size": 99})
+    model_big = FastSpeech2(cfg_big.model)
+    params_big = model_big.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        batch, deterministic=True,
+    )
+    merged, used, dropped = warm_start(params_big, {"params": tree["params"]})
+    assert used > 0 and dropped > 0
+
+
+def test_generate_from_text_end_to_end(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from lightningfastspeech2_tpu.core import config as C
+    from lightningfastspeech2_tpu.data.vocab import Vocab
+    from lightningfastspeech2_tpu.models.fastspeech2 import (
+        FastSpeech2, init_params, make_dummy_batch,
+    )
+    from lightningfastspeech2_tpu.synthesis.generator import SpeechGenerator
+    from lightningfastspeech2_tpu.vocoder import hifigan as hg
+    from tests.test_model import tiny_config
+
+    cfg = tiny_config()
+    model = FastSpeech2(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in make_dummy_batch(cfg.model, 2, 8).items()}
+    params = init_params(model, jax.random.PRNGKey(0), batch)["params"]
+
+    g2p = EnglishG2P()
+    phones = sorted(set(g2p("hello world this is a test.")))
+    vocab = Vocab(phones)
+    # tiny hifigan so the test stays fast
+    vcfg = hg.HifiGanConfig(
+        upsample_rates=(8, 2), upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=80,
+    )
+    synth = hg.Synthesiser(vcfg)
+
+    gen = SpeechGenerator(
+        cfg, model, params, vocab, g2p, synthesiser=synth,
+        speaker2dvector={"spk0": np.zeros(16, np.float32)},
+    )
+    wav = gen.generate_from_text("hello world.", speaker="spk0", seed=0)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert np.isfinite(wav).all()
+    out = tmp_path / "out.wav"
+    gen.save_audio(out, wav)
+    assert out.exists()
