@@ -63,7 +63,9 @@ def main():
 
     init = jax.jit(lambda rngs, b: model.init(rngs, b, deterministic=True))
     params = init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, batch
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "sdp": jax.random.PRNGKey(2)},
+        batch,
     )
 
     @jax.jit

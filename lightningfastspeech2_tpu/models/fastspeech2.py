@@ -182,7 +182,11 @@ def init_params(model: FastSpeech2, rng: jax.Array, batch: Dict[str, jnp.ndarray
     # jitted: eager init dispatches hundreds of tiny ops (very slow over a
     # remote TPU link)
     init = jax.jit(lambda rngs, b: model.init(rngs, b, deterministic=True))
-    return init({"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch)
+    return init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+         "sdp": jax.random.fold_in(rng, 2)},
+        batch,
+    )
 
 
 def param_count(params) -> int:

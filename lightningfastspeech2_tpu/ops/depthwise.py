@@ -29,16 +29,22 @@ def _same_pad(T: int, k: int):
 
 
 def depthwise_conv1d(
-    x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    dilation: int = 1,
 ) -> jnp.ndarray:
-    """x (B, T, C), w (k, C) -> (B, T, C), SAME padding."""
+    """x (B, T, C), w (k, C) -> (B, T, C), SAME padding (torch
+    padding=(k*d-d)//2, exact for odd k)."""
     B, T, C = x.shape
     k = w.shape[0]
-    lpad, rpad = _same_pad(T, k)
+    keff = k * dilation - dilation + 1
+    lpad, rpad = _same_pad(T, keff)
     xp = jnp.pad(x, ((0, 0), (lpad, rpad), (0, 0)))
     out = jnp.zeros_like(x)
     for j in range(k):
-        out = out + xp[:, j : j + T, :] * w[j][None, None, :]
+        off = j * dilation
+        out = out + xp[:, off : off + T, :] * w[j][None, None, :]
     if b is not None:
         out = out + b[None, None, :]
     return out

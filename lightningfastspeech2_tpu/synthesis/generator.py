@@ -54,8 +54,9 @@ class SpeechGenerator:
         self.postprocess = postprocess
         self.bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
         self._infer = jax.jit(
-            lambda params, batch: self.model.apply(
-                {"params": params}, batch, inference=True, deterministic=True
+            lambda params, batch, rng: self.model.apply(
+                {"params": params}, batch, inference=True, deterministic=True,
+                rngs={"sdp": rng},
             )
         )
 
@@ -137,7 +138,7 @@ class SpeechGenerator:
 
     def generate_samples(self, batch: Dict[str, np.ndarray]) -> List[np.ndarray]:
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        result = self._infer(self.params, jbatch)
+        result = self._infer(self.params, jbatch, jax.random.PRNGKey(0))
         mels = np.asarray(result["mel"], np.float32)
         mask = np.asarray(result["frame_mask"])
         audios = []

@@ -36,7 +36,11 @@ def create_train_state(
     model: FastSpeech2, cfg: Config, rng: jax.Array, batch: Dict[str, jnp.ndarray]
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     init = jax.jit(lambda rngs, b: model.init(rngs, b, deterministic=True))
-    variables = init({"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch)
+    variables = init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+         "sdp": jax.random.fold_in(rng, 2)},
+        batch,
+    )
     optimizer = make_optimizer(cfg.train)
     opt_state = optimizer.init(variables["params"])
     return (
@@ -51,7 +55,7 @@ def _loss_fn(params, model, cfg, batch, rng, tf, frozen):
         batch,
         deterministic=False,
         tf=tf,
-        rngs={"dropout": rng},
+        rngs={"dropout": rng, "sdp": jax.random.fold_in(rng, 7)},
     )
     losses = compute_losses(out, batch, cfg, frozen)
     return losses["total"], losses
@@ -131,11 +135,15 @@ def make_eval_step(model: FastSpeech2, cfg: Config):
     validation_step, ``fastspeech2.py:799-827``)."""
 
     @functools.partial(jax.jit, static_argnames=())
-    def step(params, batch):
-        out = model.apply({"params": params}, batch, deterministic=True)
+    def step(params, batch, rng=None):
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        rngs = {"sdp": rng}
+        out = model.apply({"params": params}, batch, deterministic=True,
+                          rngs=rngs)
         losses = compute_losses(out, batch, cfg)
         out_inf = model.apply(
-            {"params": params}, batch, inference=True, deterministic=True
+            {"params": params}, batch, inference=True, deterministic=True,
+            rngs=rngs,
         )
         return losses, out, out_inf
 
