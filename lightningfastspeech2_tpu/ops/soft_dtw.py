@@ -1,0 +1,94 @@
+"""Soft-DTW on device: anti-diagonal wavefront in pure JAX.
+
+The reference carries two soft-DTW implementations — a numba CPU version
+used as an eval metric (reference ``litfass/third_party/softdtw/
+__init__.py:7-51``, used at ``fastspeech2.py:1149-1156``) and the pysdtw
+CUDA kernel used as a training-loss option (``loss.py:5,36``), chunked to
+256 frames. Here one implementation serves both: the O(N+M)-step
+anti-diagonal recurrence (each diagonal's cells are independent — the
+classic GPU/TPU wavefront schedule) expressed as a ``lax.scan``, batched
+with vmap, differentiable by autodiff. A C++ CPU twin for offline eval
+parity lives in native/softdtw.cpp.
+
+    R[i,j] = D[i,j] + softmin_gamma(R[i-1,j], R[i,j-1], R[i-1,j-1])
+    softmin_gamma(a,b,c) = -gamma * logsumexp(-[a,b,c]/gamma)
+
+``normalize=True`` uses the debiased form d(x,y) - (d(x,x)+d(y,y))/2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = 1e10
+
+
+def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(N,D),(M,D) -> (N,M) squared euclidean distances."""
+    xx = jnp.sum(x * x, axis=-1)[:, None]
+    yy = jnp.sum(y * y, axis=-1)[None, :]
+    return jnp.maximum(xx + yy - 2.0 * (x @ y.T), 0.0)
+
+
+def _softmin3(a, b, c, gamma):
+    stack = jnp.stack([a, b, c])
+    return -gamma * jax.nn.logsumexp(-stack / gamma, axis=0)
+
+
+def soft_dtw_from_dist(D: jnp.ndarray, gamma: float = 1.0) -> jnp.ndarray:
+    """Soft-DTW value from a distance matrix D (N, M); N, M static."""
+    N, M = D.shape
+    n_diag = N + M - 1
+
+    # diag index i = row; cell (i, d - i)
+    rows = jnp.arange(N)
+
+    def diag_vals(d):
+        cols = d - rows
+        valid = (cols >= 0) & (cols < M)
+        return jnp.where(valid, D[rows, jnp.clip(cols, 0, M - 1)], _INF)
+
+    def step(carry, d):
+        r_prev2, r_prev = carry  # diagonals d-2 and d-1, indexed by row
+        dvals = diag_vals(d)
+        up = jnp.where(rows > 0, jnp.roll(r_prev, 1), _INF)      # (i-1, j)
+        left = r_prev                                            # (i, j-1)
+        diag = jnp.where(rows > 0, jnp.roll(r_prev2, 1), _INF)   # (i-1, j-1)
+        # (0,0) starts the recursion: R[0,0] = D[0,0]
+        first = (d == 0)
+        soft = _softmin3(up, left, diag, gamma)
+        r_new = dvals + jnp.where(
+            first & (rows == 0), 0.0, soft
+        )
+        cols = d - rows
+        valid = (cols >= 0) & (cols < M)
+        r_new = jnp.where(valid, r_new, _INF)
+        return (r_prev, r_new), r_new
+
+    init = (jnp.full((N,), _INF), jnp.full((N,), _INF))
+    (_, _), all_diags = jax.lax.scan(step, init, jnp.arange(n_diag))
+    return all_diags[-1, N - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "normalize"))
+def soft_dtw(x: jnp.ndarray, y: jnp.ndarray, gamma: float = 1.0,
+             normalize: bool = False) -> jnp.ndarray:
+    """(N,D),(M,D) -> scalar soft-DTW (optionally debiased,
+    softdtw/__init__.py:88-103 semantics)."""
+    value = soft_dtw_from_dist(pairwise_sqdist(x, y), gamma)
+    if normalize:
+        xx = soft_dtw_from_dist(pairwise_sqdist(x, x), gamma)
+        yy = soft_dtw_from_dist(pairwise_sqdist(y, y), gamma)
+        value = value - 0.5 * (xx + yy)
+    return value
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "normalize"))
+def soft_dtw_batch(x: jnp.ndarray, y: jnp.ndarray, gamma: float = 1.0,
+                   normalize: bool = False) -> jnp.ndarray:
+    """(B,N,D),(B,M,D) -> (B,)."""
+    fn = lambda a, b: soft_dtw(a, b, gamma=gamma, normalize=normalize)
+    return jax.vmap(fn)(x, y)
