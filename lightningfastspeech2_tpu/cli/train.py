@@ -1,0 +1,284 @@
+"""Training CLI.
+
+Flag-compatible with the reference where sensible
+(reference ``litfass/train.py:29-93``, ``scripts/train.sh``): the same
+knob names (--batch_size, --accumulate_grad_batches, --encoder_hidden,
+--variances, --variance_levels, ..., --speaker_type, --priors,
+--sort_data_by_length) drive the dataclass config tree instead of ~100
+loose argparse attributes.
+
+Usage:
+    python -m lightningfastspeech2_tpu.cli.train \
+        --train_target_path /corpus/train --valid_target_path /corpus/valid \
+        --checkpoint_dir ckpts --max_steps 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:  # reference third_party/argutils semantics
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native FastSpeech2 training")
+    # data
+    p.add_argument("--train_target_path", type=str, required=True,
+                   help="aligned corpus root (wav + TextGrid pairs)")
+    p.add_argument("--valid_target_path", type=str, default=None)
+    p.add_argument("--train_min_samples_per_speaker", type=int, default=0)
+    p.add_argument("--min_length", type=float, default=0.5)
+    p.add_argument("--max_length", type=float, default=32.0)
+    p.add_argument("--augment_duration", type=float, default=0.1)
+    p.add_argument("--sort_data_by_length", type=str2bool, default=False)
+    p.add_argument("--stat_entries", type=int, default=10000)
+    # variances
+    p.add_argument("--variances", nargs="+", default=["pitch", "energy", "snr"])
+    p.add_argument("--variance_levels", nargs="+",
+                   default=["frame", "frame", "frame"])
+    p.add_argument("--variance_transforms", nargs="+",
+                   default=["none", "none", "none"])
+    p.add_argument("--variance_losses", nargs="+", default=["mse", "mse", "mse"])
+    p.add_argument("--variance_nlayers", nargs="+", type=int, default=[5, 5, 5])
+    p.add_argument("--variance_kernel_size", nargs="+", type=int, default=[3, 3, 3])
+    p.add_argument("--variance_dropout", nargs="+", type=float,
+                   default=[0.5, 0.5, 0.5])
+    p.add_argument("--variance_loss_weights", nargs="+", type=float,
+                   default=[5e-2, 5e-2, 5e-2])
+    p.add_argument("--variance_filter_size", type=int, default=256)
+    p.add_argument("--variance_nbins", type=int, default=256)
+    p.add_argument("--variance_depthwise_conv", type=str2bool, default=True)
+    p.add_argument("--variance_early_stopping", type=str, default="none",
+                   choices=["none", "mae", "js"])
+    p.add_argument("--variance_early_stopping_patience", type=int, default=4)
+    # duration
+    p.add_argument("--duration_nlayers", type=int, default=2)
+    p.add_argument("--duration_stochastic", type=str2bool, default=False)
+    p.add_argument("--duration_kernel_size", type=int, default=3)
+    p.add_argument("--duration_dropout", type=float, default=0.5)
+    p.add_argument("--duration_filter_size", type=int, default=256)
+    p.add_argument("--duration_depthwise_conv", type=str2bool, default=True)
+    p.add_argument("--duration_loss_weight", type=float, default=5e-1)
+    # encoder/decoder
+    for side, kernels in (("encoder", [5, 25, 13, 9]), ("decoder", [17, 21, 9, 13])):
+        p.add_argument(f"--{side}_hidden", type=int, default=256)
+        p.add_argument(f"--{side}_head", type=int, default=2)
+        p.add_argument(f"--{side}_layers", type=int, default=4)
+        p.add_argument(f"--{side}_dropout", type=float, default=0.1)
+        p.add_argument(f"--{side}_kernel_sizes", nargs="+", type=int,
+                       default=kernels)
+        p.add_argument(f"--{side}_conformer", type=str2bool, default=True)
+        p.add_argument(f"--{side}_depthwise_conv", type=str2bool, default=True)
+        p.add_argument(f"--{side}_conv_filter_size", type=int, default=1024)
+    # speakers & priors
+    p.add_argument("--speaker_type", type=str, default="dvector",
+                   choices=["none", "id", "dvector"])
+    p.add_argument("--priors", nargs="*", default=[])
+    p.add_argument("--priors_gmm", type=str2bool, default=False)
+    p.add_argument("--priors_gmm_max_components", type=int, default=5)
+    p.add_argument("--speaker_embedding_every_layer", type=str2bool, default=False)
+    p.add_argument("--prior_embedding_every_layer", type=str2bool, default=False)
+    # optimization (reference defaults: fastspeech2.py:50-56, train.sh)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=4000)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--gradient_clip_val", type=float, default=1.0)
+    p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--mel_loss", type=str, default="l1")
+    p.add_argument("--soft_dtw_gamma", type=float, default=0.1)
+    p.add_argument("--soft_dtw_chunk_size", type=int, default=256)
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["bf16", "32"])
+    p.add_argument("--seed", type=int, default=42)
+    # mesh
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    # io
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--from_checkpoint", type=str, default=None)
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--eval_every", type=int, default=1000)
+    p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--wandb_mode", type=str, default="offline")
+    p.add_argument("--wandb_project", type=str, default=None)
+    return p
+
+
+def args_to_config(args):
+    from lightningfastspeech2_tpu.core import config as C
+
+    n = len(args.variances)
+
+    def fit_list(lst, fill=None):
+        lst = list(lst)
+        while len(lst) < n:
+            lst.append(fill if fill is not None else lst[-1])
+        return tuple(lst[:n])
+
+    variance = C.VarianceConfig(
+        variances=tuple(args.variances),
+        levels=fit_list(args.variance_levels),
+        transforms=fit_list(args.variance_transforms),
+        losses=fit_list(args.variance_losses),
+        nlayers=fit_list(args.variance_nlayers),
+        kernel_sizes=fit_list(args.variance_kernel_size),
+        dropouts=fit_list(args.variance_dropout),
+        loss_weights=fit_list(args.variance_loss_weights),
+        filter_size=args.variance_filter_size,
+        nbins=args.variance_nbins,
+        depthwise=args.variance_depthwise_conv,
+    )
+    duration = C.DurationConfig(
+        nlayers=args.duration_nlayers,
+        stochastic=args.duration_stochastic,
+        kernel_size=args.duration_kernel_size,
+        dropout=args.duration_dropout,
+        filter_size=args.duration_filter_size,
+        depthwise=args.duration_depthwise_conv,
+        loss_weight=args.duration_loss_weight,
+    )
+
+    def stack(side):
+        g = lambda k: getattr(args, f"{side}_{k}")
+        return C.StackConfig(
+            hidden=g("hidden"), heads=g("head"), layers=g("layers"),
+            dropout=g("dropout"),
+            kernel_sizes=tuple(g("kernel_sizes"))[: g("layers")],
+            conformer=g("conformer"), depthwise=g("depthwise_conv"),
+            conv_filter_size=g("conv_filter_size"),
+        )
+
+    model = C.ModelConfig(
+        encoder=stack("encoder"), decoder=stack("decoder"),
+        variance=variance, duration=duration,
+        speaker_type=args.speaker_type,
+        priors=tuple(args.priors),
+        speaker_embedding_every_layer=args.speaker_embedding_every_layer,
+        prior_embedding_every_layer=args.prior_embedding_every_layer,
+    )
+    train = C.TrainConfig(
+        lr=args.lr, warmup_steps=args.warmup_steps,
+        batch_size=args.batch_size, grad_accum=args.accumulate_grad_batches,
+        grad_clip=args.gradient_clip_val, max_steps=args.max_steps,
+        bf16=args.precision == "bf16", seed=args.seed,
+        mel_loss=args.mel_loss, soft_dtw_gamma=args.soft_dtw_gamma,
+        soft_dtw_chunk_size=args.soft_dtw_chunk_size,
+        log_every=args.log_every, eval_every=args.eval_every,
+        checkpoint_every=args.checkpoint_every,
+        variance_early_stopping=args.variance_early_stopping,
+        variance_early_stopping_patience=args.variance_early_stopping_patience,
+    )
+    mesh = C.MeshConfig(data=args.mesh_data, model=args.mesh_model)
+    return C.Config(model=model, train=train, mesh=mesh)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = args_to_config(args)
+
+    import jax
+
+    from lightningfastspeech2_tpu.core.checkpoint import Checkpointer, warm_start
+    from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset
+    from lightningfastspeech2_tpu.parallel import mesh as mesh_lib
+    from lightningfastspeech2_tpu.train.loop import build_model, evaluate, fit
+    from lightningfastspeech2_tpu.train.metrics_logger import MetricsLogger
+
+    mesh_lib.distributed_init()
+
+    dcfg = DataConfig(
+        min_length=args.min_length, max_length=args.max_length,
+        variances=tuple(args.variances),
+        variance_levels=cfg.model.variance.levels,
+        variance_transforms=cfg.model.variance.transforms,
+        priors=tuple(args.priors),
+        augment_duration=args.augment_duration,
+        speaker_type=args.speaker_type,
+        min_samples_per_speaker=args.train_min_samples_per_speaker,
+        stat_entries=args.stat_entries,
+        seed=args.seed,
+        max_phones=cfg.model.max_phones,
+        max_frames=cfg.model.max_frames,
+    )
+    print(f"scanning corpus {args.train_target_path} ...", flush=True)
+    dataset = TTSDataset(root=Path(args.train_target_path), cfg=dcfg)
+    print(f"{len(dataset)} utterances, {len(dataset.speakers)} speakers, "
+          f"{len(dataset.vocab)} phones", flush=True)
+    if args.sort_data_by_length:
+        dataset.sort_by_duration()
+
+    valid = None
+    if args.valid_target_path:
+        valid = dataset.create_validation_dataset(Path(args.valid_target_path))
+
+    mesh = None
+    if jax.device_count() > 1:
+        # the data axis must divide the per-step batch
+        n = jax.device_count()
+        model_axis = cfg.mesh.model
+        data_axis = n // model_axis if cfg.mesh.data == -1 else cfg.mesh.data
+        while data_axis > 1 and args.batch_size % data_axis != 0:
+            data_axis //= 2
+        if data_axis * model_axis > 1:
+            from lightningfastspeech2_tpu.core.config import MeshConfig
+
+            mesh = mesh_lib.make_mesh(
+                MeshConfig(data=data_axis, model=model_axis),
+                devices=jax.devices()[: data_axis * model_axis],
+            )
+            print(f"mesh: data={data_axis} model={model_axis}")
+
+    logger = MetricsLogger(args.log_dir, use_wandb=args.wandb_mode == "online",
+                           wandb_project=args.wandb_project)
+    ckpt = Checkpointer(args.checkpoint_dir)
+
+    sidecar = {
+        "stats": dataset.stats,
+        "phone2id": dataset.vocab.to_dict(),
+        "speaker2id": dataset.speaker2id,
+    }
+    if dataset.speaker2dvector:
+        sidecar["speaker2dvector"] = dataset.speaker2dvector
+
+    def checkpoint_fn(step_i, state):
+        ckpt.save(step_i + 1, state, cfg, sidecar)
+
+    result = fit(
+        cfg, dataset, max_steps=args.max_steps, mesh=mesh,
+        log_fn=lambda s, m: logger.log(s, {f"train/{k}_loss": v
+                                           for k, v in m.items()}),
+        checkpoint_fn=checkpoint_fn,
+    )
+    ckpt.save(args.max_steps, result.state, cfg, sidecar)
+
+    if valid is not None and len(valid):
+        model = build_model(cfg, dataset)
+        metrics = evaluate(cfg, valid, model, result.state.params)
+        logger.log(args.max_steps, metrics)
+
+    if args.priors_gmm and args.priors:
+        from lightningfastspeech2_tpu.utils.log_gmm import fit_speaker_gmms
+
+        priors = dataset.create_priors()
+        gmms = fit_speaker_gmms(priors, tuple(args.priors),
+                                max_components=args.priors_gmm_max_components)
+        print(f"fitted prior GMMs for {len(gmms)} speakers")
+    logger.close()
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,13 @@ class TTSDataset:
         )
         self.speakers = sorted({e.speaker for e in self.entries})
         self.speaker2id = {s: i for i, s in enumerate(self.speakers)}
-        self.speaker2dvector = speaker2dvector or {}
+        self.speaker2dvector = dict(speaker2dvector or {})
+        if cfg.speaker_type == "dvector":
+            # materialize the full table (real d-vectors come from
+            # data/dvector.py; deterministic hash placeholders otherwise)
+            for s in self.speakers:
+                if s not in self.speaker2dvector:
+                    self.speaker2dvector[s] = _hash_dvector(s)
         self.speaker2priors: Dict[str, Dict[str, np.ndarray]] = {}
 
         self.stats = stats

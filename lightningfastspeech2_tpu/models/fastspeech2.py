@@ -108,11 +108,18 @@ class FastSpeech2(nn.Module):
                     self.dtype, name=f"prior_embedding_{prior}",
                 )(batch[f"priors_{prior}"], x.shape[1])
 
+        # static frame length: the batch's mel bucket when present (per-
+        # bucket compiled programs), else the config maximum
+        if "mel" in batch:
+            max_frames = min(batch["mel"].shape[1], cfg.max_frames)
+        else:
+            max_frames = cfg.max_frames
+
         adaptor_out = VarianceAdaptor(
             cfg.variance,
             cfg.duration,
             cfg.hidden,
-            cfg.max_frames,
+            max_frames,
             stats,
             cfg.variance.nbins,
             self.dtype,

@@ -103,6 +103,77 @@ class TrainResult:
     history: List[Dict[str, float]]
 
 
+def evaluate(
+    cfg: Config,
+    dataset: TTSDataset,
+    model: FastSpeech2,
+    params,
+    max_batches: int = 8,
+) -> Dict[str, float]:
+    """Validation pass (reference validation_step + epoch end,
+    ``fastspeech2.py:799-827,998-1163``): teacher-forced losses + inference
+    forward, then KDE-JS / MAE / soft-DTW metrics."""
+    import jax.numpy as jnp
+
+    from lightningfastspeech2_tpu.train.metrics import eval_metrics
+    from lightningfastspeech2_tpu.train.step import make_eval_step
+
+    bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
+    eval_step = make_eval_step(model, cfg)
+    it = batch_iterator(dataset, cfg.train.batch_size, bucketer,
+                        shuffle=False, epochs=1)
+    accum: Dict[str, List[np.ndarray]] = {}
+    losses_sum: Dict[str, float] = {}
+    n_batches = 0
+    variances = cfg.model.variance.variances
+    for batch in it:
+        if n_batches >= max_batches:
+            break
+        arrs = {k: jnp.asarray(v) for k, v in batch.items()
+                if isinstance(v, np.ndarray)}
+        losses, out, out_inf = eval_step(params, arrs)
+        n_batches += 1
+        for k, v in losses.items():
+            losses_sum[k] = losses_sum.get(k, 0.0) + float(v)
+        phone_mask = np.asarray(out["phone_mask"])
+        frame_mask_inf = np.asarray(out_inf["frame_mask"])
+        for i, var in enumerate(variances):
+            if cfg.model.variance.transforms[i] == "cwt":
+                continue  # distribution metrics use the scalar signals
+            mask = (
+                phone_mask if cfg.model.variance.levels[i] == "phone"
+                else frame_mask_inf
+            )
+            pred = np.asarray(out_inf[f"variances_{var}"])
+            true_full = np.asarray(batch[f"variances_{var}"])
+            true_mask = (
+                phone_mask if cfg.model.variance.levels[i] == "phone"
+                else np.asarray(out["frame_mask"])
+            )
+            accum.setdefault(f"{var}_pred", []).append(pred[mask])
+            accum.setdefault(f"{var}_true", []).append(
+                true_full[:, : true_mask.shape[1]][true_mask]
+            )
+        accum.setdefault("duration_pred", []).append(
+            np.asarray(out_inf["duration_rounded"])[phone_mask]
+        )
+        accum.setdefault("duration_true", []).append(
+            np.asarray(batch["duration"])[:, : phone_mask.shape[1]][phone_mask]
+        )
+        mel_pred = np.asarray(out["mel"])
+        mel_true = np.asarray(batch["mel"])
+        tf_mask = np.asarray(out["frame_mask"])
+        for b in range(mel_pred.shape[0]):
+            accum.setdefault("mel_pred", []).append(mel_pred[b][tf_mask[b]])
+            accum.setdefault("mel_true", []).append(
+                mel_true[b][: tf_mask[b].sum()]
+            )
+    metrics = eval_metrics(accum, variances)
+    for k, v in losses_sum.items():
+        metrics[f"eval/{k}_loss"] = v / max(n_batches, 1)
+    return metrics
+
+
 def fit(
     cfg: Config,
     dataset: TTSDataset,

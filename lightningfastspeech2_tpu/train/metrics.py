@@ -1,0 +1,135 @@
+"""Evaluation metrics: Jensen-Shannon divergence, MAE, soft-DTW.
+
+Mirrors the reference's epoch-end eval
+(reference ``fastspeech2.py:1017-1163``): per variance + duration + mel,
+KDE (bandwidth 0.1) over 500 sampled points -> Jensen-Shannon divergence
+between predicted and target distributions; masked MAE; mel soft-DTW at
+gamma 1.0 and 0.001. Metric names match the reference's
+(``eval/jensenshannon_*``, ``eval/mae_*``, ``eval/softdtw_mel*``) for
+comparability (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy.spatial.distance import jensenshannon
+from sklearn.neighbors import KernelDensity
+
+from lightningfastspeech2_tpu.native import softdtw_cpu
+
+
+def kde_jensen_shannon(pred: np.ndarray, truth: np.ndarray,
+                       bandwidth: float = 0.1, n_points: int = 500,
+                       seed: int = 0) -> float:
+    """JS divergence between KDE density estimates of two samples
+    (fastspeech2.py:1024-1045 semantics)."""
+    pred = np.asarray(pred, np.float64).reshape(-1, 1)
+    truth = np.asarray(truth, np.float64).reshape(-1, 1)
+    if len(pred) == 0 or len(truth) == 0:
+        return float("nan")
+    rng = np.random.default_rng(seed)
+    if len(pred) > n_points:
+        pred = pred[rng.choice(len(pred), n_points, replace=False)]
+    if len(truth) > n_points:
+        truth = truth[rng.choice(len(truth), n_points, replace=False)]
+    lo = min(pred.min(), truth.min())
+    hi = max(pred.max(), truth.max())
+    grid = np.linspace(lo, hi, 200)[:, None]
+    p = np.exp(KernelDensity(bandwidth=bandwidth).fit(pred).score_samples(grid))
+    q = np.exp(KernelDensity(bandwidth=bandwidth).fit(truth).score_samples(grid))
+    return float(jensenshannon(p, q))
+
+
+def masked_mae(pred: np.ndarray, truth: np.ndarray,
+               mask: Optional[np.ndarray] = None) -> float:
+    pred = np.asarray(pred, np.float64)
+    truth = np.asarray(truth, np.float64)
+    err = np.abs(pred - truth)
+    if mask is not None:
+        mask = np.broadcast_to(np.asarray(mask, bool), err.shape[:mask.ndim])
+        while mask.ndim < err.ndim:
+            mask = mask[..., None]
+        mask = np.broadcast_to(mask, err.shape)
+        if mask.sum() == 0:
+            return float("nan")
+        return float(err[mask].mean())
+    return float(err.mean())
+
+
+def eval_metrics(
+    results: Dict[str, List[np.ndarray]],
+    variances,
+) -> Dict[str, float]:
+    """Aggregate eval metrics from accumulated per-batch arrays.
+
+    ``results`` holds lists of flat per-batch arrays under keys
+    ``{var}_pred``, ``{var}_true``, ``duration_pred``, ``duration_true``,
+    ``mel_pred``/``mel_true`` (lists of (T,80) mels).
+    """
+    out: Dict[str, float] = {}
+    for var in list(variances) + ["duration"]:
+        pk, tk = f"{var}_pred", f"{var}_true"
+        if pk not in results or not results[pk]:
+            continue
+        pred = np.concatenate([np.ravel(a) for a in results[pk]])
+        true = np.concatenate([np.ravel(a) for a in results[tk]])
+        out[f"eval/jensenshannon_{var}"] = kde_jensen_shannon(pred, true)
+        n = min(len(pred), len(true))
+        out[f"eval/mae_{var}"] = masked_mae(pred[:n], true[:n])
+    if results.get("mel_pred"):
+        js, dtw1, dtw3, mae = [], [], [], []
+        for p, t in zip(results["mel_pred"], results["mel_true"]):
+            n = min(len(p), len(t))
+            if n == 0:
+                continue
+            js.append(kde_jensen_shannon(p[:n].ravel(), t[:n].ravel()))
+            dtw1.append(softdtw_cpu(p[:n], t[:n], gamma=1.0, normalize=True))
+            dtw3.append(softdtw_cpu(p[:n], t[:n], gamma=0.001, normalize=True))
+            mae.append(np.abs(p[:n] - t[:n]).mean())
+        if js:
+            out["eval/jensenshannon_mel"] = float(np.nanmean(js))
+            out["eval/softdtw_mel"] = float(np.mean(dtw1))
+            out["eval/softdtw_mel_fine"] = float(np.mean(dtw3))
+            out["eval/mae_mel"] = float(np.mean(mae))
+    return out
+
+
+class VarianceEarlyStopping:
+    """Per-variance early stopping & freezing
+    (reference ``fastspeech2.py:141-147,1057-1115``): track a metric
+    (mae|js) per variance; when it stops improving for ``patience`` evals,
+    restore that encoder's best params and freeze it (its loss term is
+    dropped via the ``frozen`` argument of the train step)."""
+
+    def __init__(self, variances, mode: str = "mae", patience: int = 4):
+        assert mode in ("mae", "js", "none")
+        self.mode = mode
+        self.patience = patience
+        self.best: Dict[str, float] = {v: float("inf") for v in variances}
+        self.best_params: Dict[str, object] = {}
+        self.stale: Dict[str, int] = {v: 0 for v in variances}
+        self.frozen: List[str] = []
+
+    def update(self, metrics: Dict[str, float], params_per_variance) -> List[str]:
+        """params_per_variance: {var: encoder params snapshot}. Returns the
+        (possibly grown) frozen list."""
+        if self.mode == "none":
+            return self.frozen
+        key = "mae" if self.mode == "mae" else "jensenshannon"
+        for var in list(self.best):
+            if var in self.frozen:
+                continue
+            value = metrics.get(f"eval/{key}_{var}")
+            if value is None or not np.isfinite(value):
+                continue
+            if value < self.best[var]:
+                self.best[var] = value
+                self.best_params[var] = params_per_variance.get(var)
+                self.stale[var] = 0
+            else:
+                self.stale[var] += 1
+                if self.stale[var] >= self.patience:
+                    self.frozen.append(var)
+        return self.frozen

@@ -110,6 +110,20 @@ def make_train_step(
         else:
             grads, losses = grad_fn(state.params, model, cfg, batch, rng, tf, frozen)
 
+        if frozen:
+            # freeze component params entirely (reference sets
+            # requires_grad=False, model.py:240-247): zero their grads
+            def zero_frozen(path, g):
+                keys = "/".join(str(getattr(p, "key", p)) for p in path)
+                for comp in frozen:
+                    if f"encoder_{comp}" in keys or (
+                        comp == "duration" and "duration_predictor" in keys
+                    ):
+                        return jnp.zeros_like(g)
+                return g
+
+            grads = jax.tree_util.tree_map_with_path(zero_frozen, grads)
+
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)

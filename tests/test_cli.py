@@ -1,0 +1,66 @@
+"""CLI round-trip: train a tiny model on the synthetic corpus, checkpoint,
+then synthesize a sentence and re-synthesize the dataset from it."""
+
+import numpy as np
+import pytest
+
+from lightningfastspeech2_tpu.data.synthetic import make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return make_corpus(tmp_path_factory.mktemp("corpus"), n_speakers=2,
+                       n_utts=3, seed=3)
+
+
+def test_train_and_generate_cli(corpus, tmp_path):
+    from lightningfastspeech2_tpu.cli import generate as gen_cli
+    from lightningfastspeech2_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path / "ckpts"
+    train_cli.main([
+        "--train_target_path", str(corpus),
+        "--checkpoint_dir", str(ckpt_dir),
+        "--log_dir", str(tmp_path / "logs"),
+        "--max_steps", "3",
+        "--batch_size", "2",
+        "--variances", "pitch", "energy",
+        "--variance_levels", "phone", "frame",
+        "--variance_transforms", "none", "none",
+        "--variance_nlayers", "2", "2",
+        "--encoder_hidden", "32", "--decoder_hidden", "32",
+        "--encoder_layers", "2", "--decoder_layers", "2",
+        "--encoder_kernel_sizes", "3", "5",
+        "--decoder_kernel_sizes", "5", "3",
+        "--encoder_conv_filter_size", "64",
+        "--decoder_conv_filter_size", "64",
+        "--variance_filter_size", "32",
+        "--duration_filter_size", "32",
+        "--stat_entries", "4",
+        "--augment_duration", "0",
+        "--precision", "32",
+        "--checkpoint_every", "100",
+        "--log_every", "1",
+    ])
+    assert (ckpt_dir / "latest").exists()
+
+    out_dir = tmp_path / "gen"
+    gen_cli.main([
+        "--checkpoint_dir", str(ckpt_dir),
+        "--output_path", str(out_dir),
+        "--sentence", "hello world.",
+        "--no_vocoder",
+    ])
+    assert (out_dir / "sentence.wav").exists()
+
+    resynth_dir = tmp_path / "resynth"
+    gen_cli.main([
+        "--checkpoint_dir", str(ckpt_dir),
+        "--output_path", str(resynth_dir),
+        "--dataset", str(corpus),
+        "--hours", "0.0001",
+        "--no_vocoder",
+    ])
+    wavs = list(resynth_dir.rglob("*.wav"))
+    assert wavs, "no re-synthesized wavs written"
+    assert list(resynth_dir.rglob("*.meta"))
