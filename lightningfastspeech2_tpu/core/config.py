@@ -140,6 +140,14 @@ class ModelConfig:
     speaker_embedding_every_layer: bool = False
     prior_embedding_every_layer: bool = False
 
+    # FastDiff options (reference scripts/train.sh:50-53)
+    fastdiff_variances: bool = False   # diffusion variance adaptor
+    fastdiff_speakers: bool = False    # diffusion d-vector generator
+    fastdiff_vocoder: bool = False     # joint vocoder fine-tuning
+    fastdiff_schedule: Tuple[float, ...] = (0.0, 1.0)  # P(use predicted mel)
+    fastdiff_schedule_end: int = 20    # epochs over which the schedule runs
+    fastdiff_inference_steps: int = 4
+
     vocab_size: int = 256  # phone vocabulary incl. [PAD]=0
     # static-shape contract: max phones per utterance and max mel frames
     # (reference bounds utterances to 32 s -> <=2757 frames,
@@ -152,6 +160,8 @@ class ModelConfig:
 
     def __post_init__(self):
         object.__setattr__(self, "priors", tuple(self.priors))
+        object.__setattr__(self, "fastdiff_schedule",
+                           tuple(self.fastdiff_schedule))
 
     @property
     def hidden(self) -> int:

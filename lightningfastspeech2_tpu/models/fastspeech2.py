@@ -75,13 +75,41 @@ class FastSpeech2(nn.Module):
         )
         x = pos_enc(x, deterministic)
 
+        # diffusion d-vector generator (reference fastspeech2.py:640-649):
+        # training denoises the utterance d-vector conditioned on the
+        # speaker mean; inference samples one from the mean
+        speakers = batch.get("speaker")
+        if cfg.fastdiff_speakers and cfg.speaker_type == "dvector":
+            from lightningfastspeech2_tpu.models.fastdiff_variances import (
+                FastDiffSpeakerGenerator,
+            )
+
+            spk_gen = FastDiffSpeakerGenerator(
+                hidden_dim=512, c_dim=cfg.dvector_dim,
+                speaker_dim=cfg.dvector_dim,
+                inference_steps=cfg.fastdiff_inference_steps,
+                dtype=self.dtype, name="fastdiff_speaker_generator",
+            )
+            if inference:
+                speakers = spk_gen(batch["speaker"], inference=True)
+                result_speaker = {"speaker_pred": speakers, "speaker_z": None}
+            else:
+                utt = batch.get("utterance_dvec", batch["speaker"])
+                speaker_pred, speaker_z = spk_gen(batch["speaker"], utt)
+                speakers = utt
+                result_speaker = {
+                    "speaker_pred": speaker_pred, "speaker_z": speaker_z,
+                }
+        else:
+            result_speaker = {}
+
         speaker_emb = None
         if cfg.speaker_type != "none":
             speaker_module = SpeakerEmbedding(
                 cfg.hidden, cfg.speaker_type, cfg.n_speakers, self.dtype,
                 name="speaker_embedding",
             )
-            speaker_emb = speaker_module(batch["speaker"], x.shape[1])
+            speaker_emb = speaker_module(speakers, x.shape[1])
 
         every_layer = None
         if speaker_emb is not None and not cfg.speaker_embedding_every_layer:
@@ -115,25 +143,48 @@ class FastSpeech2(nn.Module):
         else:
             max_frames = cfg.max_frames
 
-        adaptor_out = VarianceAdaptor(
-            cfg.variance,
-            cfg.duration,
-            cfg.hidden,
-            max_frames,
-            stats,
-            cfg.variance.nbins,
-            self.dtype,
-            name="variance_adaptor",
-        )(
-            x,
-            phone_mask,
-            batch if not inference else batch,
-            inference=inference,
-            tf=tf,
-            oracles=oracles,
-            controls=controls,
-            deterministic=deterministic,
-        )
+        if cfg.fastdiff_variances:
+            from lightningfastspeech2_tpu.models.fastdiff_variances import (
+                FastDiffVarianceAdaptor,
+            )
+
+            adaptor_out = FastDiffVarianceAdaptor(
+                cfg.variance,
+                cfg.duration,
+                cfg.hidden,
+                max_frames,
+                stats,
+                cfg.variance.nbins,
+                cfg.fastdiff_inference_steps,
+                dtype=self.dtype,
+                name="variance_adaptor",
+            )(
+                x,
+                phone_mask,
+                batch,
+                inference=inference,
+                deterministic=deterministic,
+            )
+        else:
+            adaptor_out = VarianceAdaptor(
+                cfg.variance,
+                cfg.duration,
+                cfg.hidden,
+                max_frames,
+                stats,
+                cfg.variance.nbins,
+                self.dtype,
+                name="variance_adaptor",
+            )(
+                x,
+                phone_mask,
+                batch,
+                inference=inference,
+                tf=tf,
+                oracles=oracles,
+                controls=controls,
+                deterministic=deterministic,
+            )
 
         y = adaptor_out["x"]
         frame_mask = adaptor_out["frame_mask"]
@@ -164,8 +215,13 @@ class FastSpeech2(nn.Module):
             "phone_mask": phone_mask,
             "frame_mask": frame_mask,
         }
+        result.update(result_speaker)
         for var in cfg.variance.variances:
             result[f"variances_{var}"] = adaptor_out[f"variances_{var}"]
+            if cfg.fastdiff_variances:
+                result[f"variances_{var}_z"] = adaptor_out[f"variances_{var}_z"]
+        if cfg.fastdiff_variances:
+            result["duration_z"] = adaptor_out["duration_z"]
 
         # FastDiff residual-mel head (reference fastspeech2.py:390-402,
         # 733-736) — gated, unlike the reference's unconditional call

@@ -74,6 +74,45 @@ def compute_losses(
     phone_mask = result["phone_mask"]
     frame_mask = result["frame_mask"]
 
+    # ---------------------------------- diffusion (FastDiff) components
+    if mcfg.fastdiff_variances:
+        # each variance/duration loss is MSE(noise_pred, z)
+        # (reference loss.py:105-115,173-180)
+        for var in vcfg.variances:
+            losses[var] = masked_mean_loss(
+                result[f"variances_{var}"], result[f"variances_{var}_z"],
+                frame_mask, "mse",
+            )
+        losses["duration"] = masked_mean_loss(
+            result["duration_prediction"], result["duration_z"],
+            phone_mask, "mse",
+        )
+        losses["mel"] = masked_mean_loss(
+            result["mel"], batch["mel"][:, : result["mel"].shape[1]],
+            frame_mask, tcfg.mel_loss,
+        )
+        if "fastdiff" in result:
+            eps, z = result["fastdiff"]
+            losses["fastdiff"] = masked_mean_loss(
+                eps, z, result["wav_mask"], "mse"
+            )
+        if result.get("speaker_z") is not None:
+            losses["speakers"] = jnp.mean(
+                jnp.square(result["speaker_pred"] - result["speaker_z"])
+            )
+        weights = {"mel": tcfg.mel_loss_weight,
+                   "duration": mcfg.duration.loss_weight,
+                   "fastdiff": 1e-1, "speakers": 1.0}
+        for i, var in enumerate(vcfg.variances):
+            weights[var] = vcfg.loss_weights[i]
+        total = 0.0
+        for key, value in losses.items():
+            if any(f in key for f in frozen_components):
+                continue
+            total = total + weights.get(key, 1.0) * value
+        losses["total"] = total
+        return losses
+
     # ------------------------------------------------------- variances
     for i, var in enumerate(vcfg.variances):
         level = vcfg.levels[i]
@@ -136,9 +175,19 @@ def compute_losses(
             result["duration_prediction"], log_d, phone_mask, mcfg.duration.loss
         )
 
+    # --------------------------------------- joint vocoder + speakers
+    if "fastdiff" in result:
+        eps, z = result["fastdiff"]
+        losses["fastdiff"] = masked_mean_loss(eps, z, result["wav_mask"], "mse")
+    if result.get("speaker_z") is not None:
+        losses["speakers"] = jnp.mean(
+            jnp.square(result["speaker_pred"] - result["speaker_z"])
+        )
+
     # ----------------------------------------------------------- total
     weights: Dict[str, float] = {"mel": tcfg.mel_loss_weight,
-                                 "duration": mcfg.duration.loss_weight}
+                                 "duration": mcfg.duration.loss_weight,
+                                 "fastdiff": 1e-1, "speakers": 1.0}
     for i, var in enumerate(vcfg.variances):
         w = vcfg.loss_weights[i]
         weights[var] = w

@@ -1,0 +1,302 @@
+"""FastDiff vocoder: conditional DDPM over raw waveform, pure JAX/flax.
+
+Re-design of the reference vocoder
+(reference ``litfass/third_party/fastdiff/FastDiff.py``,
+``module/modules.py``): 3 DiffusionDBlock downsample stages + 3
+time-aware location-variable-convolution (LVC) upsample stages (ratios
+8,8,4 = hop 256), sinusoidal step embedding through two swish FC layers.
+Training draws a random t, noises the waveform and predicts epsilon;
+inference runs the reverse sampler over the hardcoded N-step schedules.
+
+TPU-native notes:
+- channel-last (B, T, C) throughout,
+- the LVC op (modules.py:190-253, "414 us on V100") is expressed as k
+  shifted batched einsums over per-frame kernels — MXU-shaped batched
+  matmuls instead of torch's unfold+einsum gymnastics,
+- the reverse loop is one lax.scan program (vocoder/diffusion.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightningfastspeech2_tpu.vocoder import diffusion
+from lightningfastspeech2_tpu.vocoder.hifigan import (
+    TorchConv1d,
+    TorchConvTranspose1d,
+)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+@dataclass(frozen=True)
+class FastDiffConfig:
+    audio_channels: int = 1
+    inner_channels: int = 32
+    cond_channels: int = 80
+    upsample_ratios: Tuple[int, ...] = (8, 8, 4)
+    lvc_layers_each_block: int = 4
+    lvc_kernel_size: int = 3
+    kpnet_hidden_channels: int = 64
+    kpnet_conv_size: int = 3
+    dropout: float = 0.0
+    step_embed_dim_in: int = 128
+    step_embed_dim_mid: int = 512
+    step_embed_dim_out: int = 512
+    beta_0: float = 1e-6
+    beta_T: float = 0.01
+    T: int = 1000
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.upsample_ratios:
+            out *= r
+        return out
+
+
+def location_variable_convolution(
+    x: jnp.ndarray,      # (B, L, Cin)
+    kernels: jnp.ndarray,  # (B, nL, Cin, Cout, ks)
+    bias: jnp.ndarray,     # (B, nL, Cout)
+    hop_size: int,
+) -> jnp.ndarray:
+    """Per-frame convolution with frame-local kernels (modules.py:220-253,
+    dilation=1 as the reference always calls it). Output (B, L, Cout)."""
+    B, L, Cin = x.shape
+    _, nL, _, Cout, ks = kernels.shape
+    assert L == nL * hop_size, f"{L} != {nL}*{hop_size}"
+    pad = (ks - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    # segments of hop_size + 2*pad samples per conditioning frame
+    idx = (
+        jnp.arange(nL)[:, None] * hop_size + jnp.arange(hop_size + 2 * pad)[None, :]
+    )
+    segs = xp[:, idx, :]  # (B, nL, hop+2p, Cin)
+    out = None
+    for k in range(ks):
+        contrib = jnp.einsum(
+            "blti,blio->blto", segs[:, :, k : k + hop_size, :], kernels[..., k]
+        )
+        out = contrib if out is None else out + contrib
+    out = out + bias[:, :, None, :]
+    return out.reshape(B, L, Cout)
+
+
+class KernelPredictor(nn.Module):
+    """Conditioning convnet -> per-frame LVC kernels + biases
+    (modules.py:257-343)."""
+
+    cond_channels: int
+    conv_in_channels: int
+    conv_out_channels: int
+    conv_layers: int
+    conv_kernel_size: int = 3
+    hidden: int = 64
+    kpnet_conv_size: int = 3
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c: jnp.ndarray, deterministic: bool = True):
+        lrelu = lambda t: nn.leaky_relu(t, 0.1)
+        pad = (self.kpnet_conv_size - 1) // 2
+        h = TorchConv1d(self.hidden, 5, 1, 2, self.dtype, name="input_conv")(c)
+        h = lrelu(h)
+        r = h
+        for i in range(6):
+            if i % 2 == 0:
+                r = nn.Dropout(self.dropout)(r, deterministic=deterministic)
+            r = TorchConv1d(self.hidden, self.kpnet_conv_size, 1, pad,
+                            self.dtype, name=f"residual_conv_{i}")(r)
+            r = lrelu(r)
+        h = h + r
+        l_w = (self.conv_in_channels * self.conv_out_channels
+               * self.conv_kernel_size * self.conv_layers)
+        l_b = self.conv_out_channels * self.conv_layers
+        k = TorchConv1d(l_w, self.kpnet_conv_size, 1, pad, self.dtype,
+                        name="kernel_conv")(h)
+        b = TorchConv1d(l_b, self.kpnet_conv_size, 1, pad, self.dtype,
+                        name="bias_conv")(h)
+        B, nL, _ = k.shape
+        kernels = k.reshape(
+            B, nL, self.conv_layers, self.conv_in_channels,
+            self.conv_out_channels, self.conv_kernel_size,
+        )
+        bias = b.reshape(B, nL, self.conv_layers, self.conv_out_channels)
+        return kernels, bias
+
+
+class DiffusionDBlock(nn.Module):
+    """Downsample: nearest-interpolate + 3 dilated convs with residual
+    (modules.py:116-138)."""
+
+    hidden: int
+    factor: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        size = x.shape[1] // self.factor
+        down = x[:, :: self.factor, :][:, :size]  # nearest with L % f == 0
+        residual = TorchConv1d(self.hidden, 1, 1, 0, self.dtype,
+                               name="residual_dense")(down)
+        h = down
+        for i, d in enumerate((1, 2, 4)):
+            h = nn.leaky_relu(h, 0.2)
+            h = TorchConv1d(self.hidden, 3, d, d, self.dtype,
+                            name=f"conv_{i}")(h)
+        return h + residual
+
+
+class TimeAwareLVCBlock(nn.Module):
+    """Upsample stage with time-conditioned LVC (modules.py:141-218)."""
+
+    in_channels: int
+    cond_channels: int
+    upsample_ratio: int
+    conv_layers: int
+    conv_kernel_size: int
+    cond_hop_length: int
+    kpnet_hidden: int
+    kpnet_conv_size: int
+    dropout: float
+    step_embed_dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, audio_down, c, step_embed, deterministic=True):
+        r = self.upsample_ratio
+        noise = nn.Dense(self.cond_channels, dtype=self.dtype, name="fc_t")(
+            step_embed
+        )
+        condition = c + noise[:, None, :]
+        kernels, bias = KernelPredictor(
+            self.cond_channels, self.in_channels, 2 * self.in_channels,
+            self.conv_layers, self.conv_kernel_size, self.kpnet_hidden,
+            self.kpnet_conv_size, self.dropout, self.dtype,
+            name="kernel_predictor",
+        )(condition, deterministic)
+
+        x = nn.leaky_relu(x, 0.2)
+        assert r % 2 == 0, "upsample ratios must be even (reference uses 8,8,4)"
+        x = TorchConvTranspose1d(
+            self.in_channels, 2 * r, r, r // 2, self.dtype, name="upsample"
+        )(x)
+
+        for i in range(self.conv_layers):
+            x = x + audio_down
+            y = nn.leaky_relu(x, 0.2)
+            pad = (3**i) * ((self.conv_kernel_size - 1) // 2)
+            y = TorchConv1d(self.in_channels, self.conv_kernel_size, 3**i,
+                            pad, self.dtype, name=f"conv_{i}")(y)
+            y = nn.leaky_relu(y, 0.2)
+            y = location_variable_convolution(
+                y, kernels[:, :, i], bias[:, :, i], self.cond_hop_length
+            )
+            x = x + jax.nn.sigmoid(y[..., : self.in_channels]) * jnp.tanh(
+                y[..., self.in_channels :]
+            )
+        return x
+
+
+class FastDiff(nn.Module):
+    """eps-prediction network: (noisy wav (B,T), mel (B,T',80), ts (B,))
+    -> eps (B,T) (FastDiff.py:91-147)."""
+
+    cfg: FastDiffConfig = FastDiffConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray, ts: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        emb = diffusion.step_embedding(ts, cfg.step_embed_dim_in)
+        emb = swish(nn.Dense(cfg.step_embed_dim_mid, dtype=self.dtype,
+                             name="fc_t1")(emb))
+        emb = swish(nn.Dense(cfg.step_embed_dim_out, dtype=self.dtype,
+                             name="fc_t2")(emb))
+
+        h = TorchConv1d(cfg.inner_channels, 7, 1, 3, self.dtype,
+                        name="first_audio_conv")(x[..., None])
+
+        downsampled = []
+        n_blocks = len(cfg.upsample_ratios)
+        for i in range(n_blocks):
+            downsampled.append(h)
+            h = DiffusionDBlock(
+                cfg.inner_channels,
+                cfg.upsample_ratios[n_blocks - i - 1],
+                self.dtype,
+                name=f"downsample_{i}",
+            )(h)
+
+        cond_hop = 1
+        for n in range(n_blocks):
+            cond_hop *= cfg.upsample_ratios[n]
+            h = TimeAwareLVCBlock(
+                cfg.inner_channels, cfg.cond_channels, cfg.upsample_ratios[n],
+                cfg.lvc_layers_each_block, cfg.lvc_kernel_size, cond_hop,
+                cfg.kpnet_hidden_channels, cfg.kpnet_conv_size, cfg.dropout,
+                cfg.step_embed_dim_out, self.dtype, name=f"lvc_blocks_{n}",
+            )(h, downsampled[n_blocks - n - 1], c, emb, deterministic)
+
+        out = TorchConv1d(cfg.audio_channels, 7, 1, 3, self.dtype,
+                          name="final_conv")(h)
+        return out[..., 0]
+
+
+class FastDiffVocoder:
+    """Train/inference wrapper owning the schedule hyperparams."""
+
+    def __init__(self, cfg: FastDiffConfig = FastDiffConfig(), params=None,
+                 rng=None, dtype=jnp.float32):
+        self.cfg = cfg
+        self.model = FastDiff(cfg, dtype)
+        self.hp = diffusion.compute_hyperparams(
+            diffusion.linear_beta_schedule(cfg.beta_0, cfg.beta_T, cfg.T)
+        )
+        if params is None and rng is not None:
+            T = 2 * cfg.hop_length
+            params = jax.jit(self.model.init)(
+                rng, jnp.zeros((1, T)), jnp.zeros((1, 2, cfg.cond_channels)),
+                jnp.zeros((1,)),
+            )
+        self.params = params
+
+    def train_eps(self, params, wav, mel, rng):
+        """Noise the waveform at random t and predict eps; returns
+        (eps_pred, z) for the MSE loss (FastDiff.py:104-143)."""
+        B = wav.shape[0]
+        ts_rng, z_rng = jax.random.split(rng)
+        ts = jax.random.randint(ts_rng, (B,), 0, self.hp.T)
+        z = jax.random.normal(z_rng, wav.shape)
+        alpha = jnp.asarray(self.hp.alpha, jnp.float32)
+        noisy = diffusion.diffuse(wav, ts, z, alpha)
+        eps = self.model.apply(params, noisy, mel, ts.astype(jnp.float32))
+        return eps, z
+
+    def inference(self, mel: jnp.ndarray, N: int = 4,
+                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """mel (T', 80) or (B, T', 80) -> waveform (B, T'*hop), peak
+        normalized (FastDiff.py:149-195)."""
+        if mel.ndim == 2:
+            mel = mel[None]
+        B, Tc, _ = mel.shape
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        schedule = diffusion.make_inference_schedule(self.hp, N)
+
+        eps_fn = lambda x, ts: self.model.apply(self.params, x, mel, ts)
+        wav = diffusion.reverse_sample(
+            eps_fn, (B, Tc * self.cfg.hop_length), schedule, rng
+        )
+        peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
+        return wav / jnp.maximum(peak, 1e-9)
