@@ -87,6 +87,28 @@ def mel_filterbank(
     return weights.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def mel_filterbank_htk(
+    sampling_rate: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float,
+    f_max: float,
+) -> np.ndarray:
+    """HTK-scale unnormalized triangular filterbank (torchaudio
+    MelSpectrogram defaults: mel_scale='htk', norm=None), (n_mels, bins).
+    Used by the d-vector front-end (third_party/dvectors/wav2mel.py)."""
+    hz2mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+    mel2hz = lambda m: 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+    fft_freqs = np.linspace(0, sampling_rate / 2, 1 + n_fft // 2)
+    hz_pts = mel2hz(np.linspace(hz2mel(f_min), hz2mel(f_max), n_mels + 2))
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    return np.maximum(0.0, np.minimum(lower, upper)).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # STFT magnitude
 # ---------------------------------------------------------------------------

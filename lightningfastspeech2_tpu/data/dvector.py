@@ -1,0 +1,245 @@
+"""Speaker d-vector pipeline: wav2mel front-end + LSTM d-vector encoder.
+
+Re-design of the reference's d-vector stack
+(reference ``litfass/third_party/dvectors/wav2mel.py``,
+``litfass/dataset/datasets.py:652-690``): the reference embeds 1 s of each
+utterance through a TorchScript LSTM d-vector (yistLin's, shipped as a
+missing blob ``dvector.pt``) after a sox-effects chain (mono, 16 kHz,
+-3 dB norm, silence removal) and a 40-mel log spectrogram (25 ms window,
+10 ms hop, f_min 50, HTK scale, power 2); per-speaker vectors are the mean
+over utterances.
+
+Here: the sox chain is reimplemented in numpy (data/wav.py resampler +
+energy-gated silence removal), the mel front-end in JAX, and the d-vector
+net as a flax 3-layer LSTM with the same topology as yistLin's
+AttentivePooledLSTMDvector (LSTM(40->256) x3 -> Linear(256) -> tanh
+attention pooling -> L2 norm). ``convert_torch_state_dict`` maps the
+original checkpoint's tensors when available.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightningfastspeech2_tpu.audio.mel import (
+    frame_signal,
+    hann_window,
+    mel_filterbank_htk,
+)
+from lightningfastspeech2_tpu.data import wav as wav_io
+
+
+# ---------------------------------------------------------------------------
+# wav2mel front-end
+# ---------------------------------------------------------------------------
+
+def normalize_db(wav: np.ndarray, norm_db: float = -3.0) -> np.ndarray:
+    """sox 'norm -3': scale so peak = 10^(norm_db/20)."""
+    peak = np.max(np.abs(wav))
+    if peak == 0:
+        return wav
+    return wav * (10.0 ** (norm_db / 20.0) / peak)
+
+
+def remove_silence(
+    wav: np.ndarray,
+    sample_rate: int,
+    threshold_pct: float = 1.0,
+    min_duration: float = 0.1,
+) -> np.ndarray:
+    """Energy-gated silence removal approximating the sox 'silence 1 0.1 1%
+    -1 0.1 1%' chain: drop runs of sub-threshold audio longer than
+    ``min_duration``."""
+    if len(wav) == 0:
+        return wav
+    threshold = (threshold_pct / 100.0) * max(np.max(np.abs(wav)), 1e-9)
+    win = max(int(sample_rate * 0.01), 1)
+    n_frames = len(wav) // win
+    if n_frames == 0:
+        return wav
+    frames = wav[: n_frames * win].reshape(n_frames, win)
+    loud = np.abs(frames).max(axis=1) >= threshold
+    min_frames = max(int(min_duration / 0.01), 1)
+    keep = loud.copy()
+    # keep short quiet gaps (shorter than min_duration)
+    i = 0
+    while i < n_frames:
+        if not loud[i]:
+            j = i
+            while j < n_frames and not loud[j]:
+                j += 1
+            if j - i < min_frames:
+                keep[i:j] = True
+            i = j
+        else:
+            i += 1
+    out = frames[keep].reshape(-1)
+    tail = wav[n_frames * win :]
+    if keep[-1] if len(keep) else True:
+        out = np.concatenate([out, tail])
+    return out if len(out) else wav
+
+
+def wav2mel(
+    wav: np.ndarray,
+    sample_rate: int,
+    target_rate: int = 16000,
+    norm_db: float = -3.0,
+    fft_window_ms: float = 25.0,
+    fft_hop_ms: float = 10.0,
+    f_min: float = 50.0,
+    n_mels: int = 40,
+) -> np.ndarray:
+    """(N,) wav -> (T, 40) log-mel for the d-vector encoder."""
+    wav = wav_io.resample(np.asarray(wav, np.float32), sample_rate, target_rate)
+    wav = normalize_db(wav, norm_db)
+    wav = remove_silence(wav, target_rate)
+    n_fft = int(target_rate * fft_window_ms / 1000)
+    hop = int(target_rate * fft_hop_ms / 1000)
+    frames = frame_signal(jnp.asarray(wav), n_fft, hop)
+    win = hann_window(n_fft)
+    spec = jnp.abs(jnp.fft.rfft(frames * win, n=n_fft, axis=-1)) ** 2  # power 2
+    fb = jnp.asarray(
+        mel_filterbank_htk(target_rate, n_fft, n_mels, f_min, target_rate / 2)
+    )
+    mel = spec @ fb.T
+    return np.asarray(jnp.log(jnp.clip(mel, min=1e-9)))
+
+
+# ---------------------------------------------------------------------------
+# d-vector encoder
+# ---------------------------------------------------------------------------
+
+class LSTMLayer(nn.Module):
+    """One unidirectional LSTM layer over (B, T, C), params under
+    ``cell/{i,h}{i,f,g,o}`` (stable path for the torch converter)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scan = nn.scan(
+            nn.OptimizedLSTMCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        cell = scan(self.features, name="cell")
+        carry = cell.initialize_carry(jax.random.PRNGKey(0), x[:, 0].shape)
+        _, ys = cell(carry, x)
+        return ys
+
+
+class DVector(nn.Module):
+    """yistLin AttentivePooledLSTMDvector topology."""
+
+    dim_input: int = 40
+    dim_cell: int = 256
+    dim_emb: int = 256
+    num_layers: int = 3
+    seg_len: int = 160
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """(T, 40) or (B, T, 40) -> (B, dim_emb) L2-normalized."""
+        if mel.ndim == 2:
+            mel = mel[None]
+        h = mel
+        for i in range(self.num_layers):
+            h = LSTMLayer(self.dim_cell, name=f"lstm{i}")(h)
+        e = jnp.tanh(nn.Dense(self.dim_emb, name="embedding")(h))  # (B,T,E)
+        # attentive pooling
+        attn = nn.Dense(1, name="attention")(e)  # (B,T,1)
+        attn = jax.nn.softmax(attn, axis=1)
+        emb = jnp.sum(e * attn, axis=1)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def embed_utterance(self, params, mel: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(params, mel)[0]
+
+
+def convert_torch_state_dict(state: Dict[str, np.ndarray]) -> Dict:
+    """Map yistLin dvector checkpoint tensors into this module's params.
+
+    torch LSTM params per layer l: weight_ih_l{l} (4H, in),
+    weight_hh_l{l} (4H, H), bias_ih_l{l}, bias_hh_l{l} with gate order
+    (i, f, g, o). flax LSTMCell uses separate dense kernels per gate.
+    """
+    params: Dict = {}
+    H = state["lstm.weight_hh_l0"].shape[1]
+    gates = ("i", "f", "g", "o")
+    for l in range(3):
+        wih = np.asarray(state[f"lstm.weight_ih_l{l}"])
+        whh = np.asarray(state[f"lstm.weight_hh_l{l}"])
+        bih = np.asarray(state[f"lstm.bias_ih_l{l}"])
+        bhh = np.asarray(state[f"lstm.bias_hh_l{l}"])
+        cell: Dict = {}
+        for gi, g in enumerate(gates):
+            sl = slice(gi * H, (gi + 1) * H)
+            # flax OptimizedLSTMCell: i-gates kernel-only, h-gates carry the
+            # (summed) bias
+            cell[f"i{g}"] = {"kernel": wih[sl].T}
+            cell[f"h{g}"] = {"kernel": whh[sl].T, "bias": bih[sl] + bhh[sl]}
+        params[f"lstm{l}"] = {"cell": cell}
+    params["embedding"] = {
+        "kernel": np.asarray(state["embedding.weight"]).T,
+        "bias": np.asarray(state["embedding.bias"]),
+    }
+    if "attention.weight" in state:
+        params["attention"] = {
+            "kernel": np.asarray(state["attention.weight"]).T,
+            "bias": np.asarray(state["attention.bias"]),
+        }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# corpus pipeline
+# ---------------------------------------------------------------------------
+
+class DVectorPipeline:
+    """Computes per-utterance d-vectors (cached as ``<utt>.npy`` beside the
+    audio, datasets.py:652-677) and per-speaker means."""
+
+    def __init__(self, params=None, rng=None, sampling_rate: int = 22050):
+        self.model = DVector()
+        if params is None:
+            mel = jnp.zeros((1, 50, 40))
+            params = jax.jit(self.model.init)(
+                rng if rng is not None else jax.random.PRNGKey(0), mel
+            )
+        self.params = params
+        self.sampling_rate = sampling_rate
+        self._embed = jax.jit(self.model.apply)
+
+    def embed_wav(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
+        mel = wav2mel(wav, sample_rate)
+        return np.asarray(self._embed(self.params, jnp.asarray(mel))[0])
+
+    def process_entries(self, entries, cache: bool = True) -> Dict[str, np.ndarray]:
+        """Embed 1 s of each utterance; returns speaker -> mean d-vector."""
+        per_speaker: Dict[str, List[np.ndarray]] = {}
+        for entry in entries:
+            dvec_path = Path(entry.audio_path).with_suffix(".npy")
+            if cache and dvec_path.exists():
+                dvec = np.load(dvec_path)
+            else:
+                wav, sr = wav_io.read(entry.audio_path)
+                start = int(sr * entry.start)
+                wav = wav[start : start + sr]  # 1 second (datasets.py:667-668)
+                peak = np.max(np.abs(wav)) if len(wav) else 1.0
+                wav = wav / max(peak, 1e-9)
+                dvec = self.embed_wav(wav, sr)
+                if cache:
+                    np.save(dvec_path, dvec)
+            per_speaker.setdefault(entry.speaker, []).append(dvec)
+        return {
+            spk: np.mean(vecs, axis=0) for spk, vecs in per_speaker.items()
+        }

@@ -289,7 +289,9 @@ class Synthesiser:
         self.model = Generator(cfg, dtype)
         if params is None:
             mel = jnp.zeros((1, 16, cfg.num_mels))
-            params = jax.jit(self.model.init)(rng or jax.random.PRNGKey(0), mel)
+            params = jax.jit(self.model.init)(
+                rng if rng is not None else jax.random.PRNGKey(0), mel
+            )
         self.params = params
         self._apply = jax.jit(self.model.apply)
 
