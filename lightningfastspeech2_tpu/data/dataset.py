@@ -258,7 +258,12 @@ class TTSDataset:
 
         variances: Dict[str, Any] = {}
         for i, var in enumerate(cfg.variances):
-            sig = feats[var][:dur_sum].astype(np.float64).copy()
+            if var == "srmr":
+                from lightningfastspeech2_tpu.audio.srmr import frame_srmr
+
+                sig = frame_srmr(wav, dur_sum, cfg.audio.sampling_rate)
+            else:
+                sig = feats[var][:dur_sum].astype(np.float64).copy()
             sm = silence_mask[: len(sig)]
             if var == "pitch":
                 sig[sig == 0] = np.nan
