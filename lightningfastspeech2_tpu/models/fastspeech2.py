@@ -229,10 +229,10 @@ class FastSpeech2(nn.Module):
             out_val = adaptor_out["out"]
             if out_val is None:
                 out_val = jnp.zeros_like(y)
+            # two stacked Linears, no activation (fastspeech2.py:392-402)
             h = nn.Dense(cfg.hidden, dtype=self.dtype, name="fastdiff_linear1")(
                 out_val + spk_frames
             )
-            h = nn.relu(h)
             result["fastdiff_var"] = (
                 nn.Dense(cfg.audio.n_mels, dtype=self.dtype, name="fastdiff_linear2")(h)
                 * 0.1

@@ -1,0 +1,221 @@
+"""Reference-checkpoint (torch) -> JAX parameter conversion.
+
+One-way converter for the reference's enriched Lightning ``.ckpt`` format
+(reference ``fastspeech2.py:622-634`` adds stats/phone2id/speaker tables to
+the torch pickle) into this framework's flax param tree + sidecar — the
+pathway for the BASELINE "mel/waveform allclose to reference checkpoints"
+goal.
+
+Name map (reference module attribute -> our flax path):
+  phone_embedding.weight                     phone_embedding/embedding
+  encoder.layers.{i}.self_attn.in_proj_*     encoder/layer{i}/SelfAttention_0/qkv
+  encoder.layers.{i}.self_attn.out_proj      encoder/layer{i}/SelfAttention_0/out
+  encoder.layers.{i}.norm{1,2}               encoder/layer{i}/norm{1,2}
+  encoder.layers.{i}.conv{1,2}[.0/.1]        encoder/layer{i}/ConvFFN_0/conv*
+  variance_adaptor.duration_predictor...     variance_adaptor/duration_predictor
+  variance_adaptor.encoders.{var}...         variance_adaptor/encoder_{var}
+  speaker_embedding.projection               speaker_embedding/projection
+  prior_embeddings.{p}.embedding             prior_embedding_{p}/embedding
+  linear                                     mel_head
+  fastdiff_linear.{0,1}                      fastdiff_linear{1,2}
+
+Weight-layout rules (verified against torch op semantics in
+tests/test_hifigan.py and tests/test_torch_convert.py):
+  Linear (out,in) -> kernel (in,out);  Conv1d (out,in,k) -> (k,in,out);
+  depthwise Conv1d (C,1,k) -> (k,1,C); grouped Conv1d (G*co,ci,k) ->
+  (k,G,ci,co); Embedding (V,H) -> embedding (V,H); LayerNorm weight/bias ->
+  scale/bias; MHA packed in_proj (3H,H) -> qkv kernel (H,3H).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from lightningfastspeech2_tpu.core.config import Config, ModelConfig
+
+
+def _linear(state, prefix):
+    return {
+        "kernel": np.asarray(state[f"{prefix}.weight"]).T,
+        "bias": np.asarray(state[f"{prefix}.bias"]),
+    }
+
+
+def _layernorm(state, prefix):
+    return {
+        "scale": np.asarray(state[f"{prefix}.weight"]),
+        "bias": np.asarray(state[f"{prefix}.bias"]),
+    }
+
+
+def _conv1d(state, prefix):
+    w = np.asarray(state[f"{prefix}.weight"])  # (out, in, k)
+    return {
+        "kernel": np.transpose(w, (2, 1, 0)),
+        "bias": np.asarray(state[f"{prefix}.bias"]),
+    }
+
+
+def _depthwise(state, prefix):
+    w = np.asarray(state[f"{prefix}.weight"])  # (C, 1, k)
+    return {
+        "kernel": np.transpose(w, (2, 1, 0)),  # (k, 1, C)
+        "bias": np.asarray(state[f"{prefix}.bias"]),
+    }
+
+
+def _grouped(state, prefix, groups):
+    w = np.asarray(state[f"{prefix}.weight"])  # (G*co, ci, k)
+    out_ch, ci, k = w.shape
+    co = out_ch // groups
+    # (k, G, ci, co): out channel o_global = g*co + o
+    kernel = np.transpose(w.reshape(groups, co, ci, k), (3, 0, 2, 1))
+    return {"kernel": kernel, "bias": np.asarray(state[f"{prefix}.bias"])}
+
+
+def _attention(state, prefix):
+    wqkv = np.asarray(state[f"{prefix}.in_proj_weight"])  # (3H, H)
+    bqkv = np.asarray(state[f"{prefix}.in_proj_bias"])
+    return {
+        "qkv": {"kernel": wqkv.T, "bias": bqkv},
+        "out": _linear(state, f"{prefix}.out_proj"),
+    }
+
+
+def _fft_stack(state, prefix, layers, depthwise, hidden):
+    out: Dict[str, Any] = {}
+    for i in range(layers):
+        p = f"{prefix}.layers.{i}"
+        layer: Dict[str, Any] = {
+            "SelfAttention_0": _attention(state, f"{p}.self_attn"),
+            "norm1": _layernorm(state, f"{p}.norm1"),
+            "norm2": _layernorm(state, f"{p}.norm2"),
+        }
+        ffn: Dict[str, Any] = {}
+        if depthwise:
+            ffn["conv1_depth"] = _depthwise(state, f"{p}.conv1.0")
+            ffn["conv1_point"] = _conv1d(state, f"{p}.conv1.1")
+            ffn["conv2_group"] = _grouped(state, f"{p}.conv2.0", hidden)
+            ffn["conv2_point"] = _conv1d(state, f"{p}.conv2.1")
+        else:
+            ffn["conv1"] = _conv1d(state, f"{p}.conv1")
+            ffn["conv2"] = _conv1d(state, f"{p}.conv2")
+        layer["ConvFFN_0"] = ffn
+        out[f"layer{i}"] = layer
+    return out
+
+
+def _variance_conv_layer(state, prefix, depthwise):
+    """VarianceConvolutionLayer: Sequential(Transpose(conv), ReLU,
+    LayerNorm, Dropout) (model.py:524-561)."""
+    out: Dict[str, Any] = {}
+    if depthwise:
+        out["depth"] = _depthwise(state, f"{prefix}.layers.0.module.0")
+        out["point"] = _conv1d(state, f"{prefix}.layers.0.module.1")
+    else:
+        out["conv"] = _conv1d(state, f"{prefix}.layers.0.module")
+    out["LayerNorm_0"] = _layernorm(state, f"{prefix}.layers.2")
+    return out
+
+
+def _variance_predictor(state, prefix, nlayers, depthwise):
+    out: Dict[str, Any] = {}
+    for i in range(nlayers):
+        out[f"conv{i}"] = _variance_conv_layer(
+            state, f"{prefix}.layers.{i}", depthwise
+        )
+    out["linear"] = _linear(state, f"{prefix}.linear")
+    return out
+
+
+def convert_fastspeech2_state_dict(
+    state: Dict[str, np.ndarray], cfg: ModelConfig
+) -> Dict[str, Any]:
+    """Map a reference FastSpeech2 state_dict (numpy-valued, possibly with
+    a leading 'model.' prefix stripped) into our flax params tree."""
+    state = {k.removeprefix("model."): v for k, v in state.items()}
+    params: Dict[str, Any] = {}
+
+    params["phone_embedding"] = {
+        "embedding": np.asarray(state["phone_embedding.weight"])
+    }
+    params["encoder"] = _fft_stack(
+        state, "encoder", cfg.encoder.layers, cfg.encoder.depthwise,
+        cfg.encoder.hidden,
+    )
+    params["decoder"] = _fft_stack(
+        state, "decoder", cfg.decoder.layers, cfg.decoder.depthwise,
+        cfg.decoder.hidden,
+    )
+    params["mel_head"] = _linear(state, "linear")
+
+    if cfg.speaker_type == "dvector":
+        params["speaker_embedding"] = {
+            "projection": _linear(state, "speaker_embedding.projection")
+        }
+    elif cfg.speaker_type == "id":
+        params["speaker_embedding"] = {
+            "embedding": {
+                "embedding": np.asarray(
+                    state["speaker_embedding.speaker_embedding.weight"]
+                )
+            }
+        }
+
+    for prior in cfg.priors:
+        params[f"prior_embedding_{prior}"] = {
+            "embedding": {
+                "embedding": np.asarray(
+                    state[f"prior_embeddings.{prior}.embedding.weight"]
+                )
+            }
+        }
+
+    va: Dict[str, Any] = {}
+    va["duration_predictor"] = _variance_predictor(
+        state, "variance_adaptor.duration_predictor",
+        cfg.duration.nlayers, cfg.duration.depthwise,
+    )
+    for i, var in enumerate(cfg.variance.variances):
+        enc_prefix = f"variance_adaptor.encoders.{var}"
+        enc: Dict[str, Any] = {
+            "predictor": _variance_predictor(
+                state, f"{enc_prefix}.predictor",
+                cfg.variance.nlayers[i], cfg.variance.depthwise,
+            ),
+            "embedding": {
+                "embedding": np.asarray(state[f"{enc_prefix}.embedding.weight"])
+            },
+        }
+        if cfg.variance.transforms[i] == "cwt":
+            enc["mean_std_linear"] = _linear(state, f"{enc_prefix}.mean_std_linear")
+        va[f"encoder_{var}"] = enc
+    params["variance_adaptor"] = va
+
+    if "fastdiff_linear.0.weight" in state:
+        params["fastdiff_linear1"] = _linear(state, "fastdiff_linear.0")
+        params["fastdiff_linear2"] = _linear(state, "fastdiff_linear.1")
+
+    return {"params": params}
+
+
+def load_reference_checkpoint(path: str, cfg: Optional[Config] = None):
+    """Load a reference ``.ckpt`` (torch pickle): returns
+    (flax_variables, sidecar dict with stats/phone2id/speaker tables)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
+    sidecar = {
+        key: ckpt[key]
+        for key in (
+            "stats", "phone2id", "speaker2id", "speaker2dvector",
+            "speaker2priors", "speaker_gmms", "dvector_gmms",
+        )
+        if key in ckpt
+    }
+    assert cfg is not None, "pass the matching Config for the checkpoint"
+    variables = convert_fastspeech2_state_dict(state, cfg.model)
+    return variables, sidecar
