@@ -256,11 +256,34 @@ def main(argv=None):
     def checkpoint_fn(step_i, state):
         ckpt.save(step_i + 1, state, cfg, sidecar)
 
+    eval_fn = None
+    if valid is not None and len(valid):
+        from lightningfastspeech2_tpu.train.metrics import VarianceEarlyStopping
+
+        eval_model = build_model(cfg, dataset)
+        early_stopping = VarianceEarlyStopping(
+            cfg.model.variance.variances,
+            mode=cfg.train.variance_early_stopping,
+            patience=cfg.train.variance_early_stopping_patience,
+        )
+
+        def eval_fn(step_i, state):
+            metrics = evaluate(cfg, valid, eval_model, state.params)
+            logger.log(step_i, metrics)
+            snapshots = {
+                var: state.params.get("variance_adaptor", {}).get(
+                    f"encoder_{var}"
+                )
+                for var in cfg.model.variance.variances
+            }
+            return early_stopping.update(metrics, snapshots)
+
     result = fit(
         cfg, dataset, max_steps=args.max_steps, mesh=mesh,
         log_fn=lambda s, m: logger.log(s, {f"train/{k}_loss": v
                                            for k, v in m.items()}),
         checkpoint_fn=checkpoint_fn,
+        eval_fn=eval_fn,
     )
     ckpt.save(args.max_steps, result.state, cfg, sidecar)
 

@@ -415,6 +415,19 @@ class TTSDataset:
         }
         return self.speaker2priors
 
+    def shard_across_hosts(self) -> "TTSDataset":
+        """Multi-host input sharding: each host keeps a strided slice of
+        the (already seed-shuffled) entries. Vocab and stats stay global
+        so every host builds identical models (SURVEY.md §2.8 host-sharded
+        input pipeline)."""
+        import jax
+
+        n, i = jax.process_count(), jax.process_index()
+        if n == 1:
+            return self
+        self.entries = self.entries[i::n]
+        return self
+
     # -------------------------------------------------------------- batching
     def sort_by_duration(self) -> None:
         """Length-sorted order for low-padding bucketed batching

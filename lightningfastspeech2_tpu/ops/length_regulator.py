@@ -22,10 +22,17 @@ Also provides the zero-duration rescue used at inference
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Opt-in Pallas kernel (ops/pallas_length_regulator.py). Off by default:
+# the remote axon TPU backend used in this environment aborts on Mosaic
+# kernels ("TPU backend error"); on directly-attached TPUs set
+# LFS2_USE_PALLAS=1.
+_USE_PALLAS = os.environ.get("LFS2_USE_PALLAS", "0") == "1"
 
 
 def regulate(
@@ -39,6 +46,12 @@ def regulate(
 
     Works for feature vectors (B, P, H) and scalar sequences (B, P).
     """
+    if _USE_PALLAS and x.ndim == 3 and max_frames % 256 == 0:
+        from lightningfastspeech2_tpu.ops.pallas_length_regulator import (
+            regulate_pallas,
+        )
+
+        return regulate_pallas(x, durations, max_frames)
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]

@@ -181,6 +181,7 @@ def fit(
     mesh=None,
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     checkpoint_fn: Optional[Callable[[int, Any], None]] = None,
+    eval_fn: Optional[Callable[[int, Any], Tuple]] = None,
     state=None,
 ) -> TrainResult:
     import jax.numpy as jnp
@@ -215,6 +216,7 @@ def fit(
     history: List[Dict[str, float]] = []
     accum = max(cfg.train.grad_accum, 1)
     batch = first
+    frozen: Tuple[str, ...] = ()
     t_start = time.time()
     for step_i in range(max_steps):
         arrs = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
@@ -225,7 +227,9 @@ def fit(
             }
         if mesh is not None:
             arrs = shard_batch_for_mesh(mesh, arrs, accum_axis=accum > 1)
-        state, metrics = step_fn(state, arrs, jax.random.fold_in(rng, step_i))
+        state, metrics = step_fn(
+            state, arrs, jax.random.fold_in(rng, step_i), frozen=frozen
+        )
         if (step_i % cfg.train.log_every == 0) or step_i == max_steps - 1:
             snap = {k: float(v) for k, v in metrics.items()}
             snap["steps_per_s"] = (step_i + 1) / (time.time() - t_start)
@@ -234,5 +238,11 @@ def fit(
                 log_fn(step_i, snap)
         if checkpoint_fn and (step_i + 1) % cfg.train.checkpoint_every == 0:
             checkpoint_fn(step_i, state)
+        if eval_fn and (step_i + 1) % cfg.train.eval_every == 0:
+            # eval_fn may return a new frozen-components tuple (variance
+            # early stopping); recompile happens at most once per change
+            new_frozen = eval_fn(step_i, state)
+            if new_frozen:
+                frozen = tuple(new_frozen)
         batch = next(batches)
     return TrainResult(state=state, history=history)
