@@ -20,7 +20,10 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native FastSpeech2 synthesis")
-    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--hub", type=str, default=None,
+                   help="HuggingFace Hub repo id to download a checkpoint "
+                        "directory from (generate.py:106-112 analog)")
     p.add_argument("--checkpoint_step", type=str, default=None)
     p.add_argument("--output_path", type=str, default="generated")
     p.add_argument("--sentence", type=str, default=None)
@@ -43,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_generator(args):
     import jax
+
+    if args.hub and not args.checkpoint_dir:
+        from huggingface_hub import snapshot_download
+
+        args.checkpoint_dir = snapshot_download(args.hub)
+    assert args.checkpoint_dir, "provide --checkpoint_dir or --hub"
 
     from lightningfastspeech2_tpu.core.checkpoint import Checkpointer
     from lightningfastspeech2_tpu.data.vocab import Vocab
@@ -89,12 +98,21 @@ def load_generator(args):
             )
         synthesiser = hg.Synthesiser(hg.HifiGanConfig(), params=params)
 
+    speaker_gmms = None
+    gmm_path = Path(args.checkpoint_dir) / "prior_gmms.pkl"
+    if gmm_path.exists():
+        import pickle
+
+        with open(gmm_path, "rb") as fh:
+            speaker_gmms = pickle.load(fh)
+
     gen = SpeechGenerator(
         C.replace(cfg, model=mcfg), model, tree["params"], vocab, EnglishG2P(args.lexicon_path),
         synthesiser=synthesiser,
         speaker2dvector=sidecar.get("speaker2dvector"),
         speaker2id=sidecar.get("speaker2id"),
         speaker2priors=sidecar.get("speaker2priors"),
+        speaker_gmms=speaker_gmms,
     )
     return gen, cfg, sidecar
 

@@ -83,7 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{side}_conv_filter_size", type=int, default=1024)
     # speakers & priors
     p.add_argument("--speaker_type", type=str, default="dvector",
-                   choices=["none", "id", "dvector"])
+                   choices=["none", "id", "dvector", "dvector_utterance"])
     p.add_argument("--priors", nargs="*", default=[])
     p.add_argument("--priors_gmm", type=str2bool, default=False)
     p.add_argument("--priors_gmm_max_components", type=int, default=5)
@@ -112,6 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--eval_every", type=int, default=1000)
     p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--early_stopping", type=str2bool, default=False)
+    p.add_argument("--early_stopping_patience", type=int, default=10)
     p.add_argument("--wandb_mode", type=str, default="offline")
     p.add_argument("--wandb_project", type=str, default=None)
     return p
@@ -258,6 +260,7 @@ def main(argv=None):
 
     eval_fn = None
     if valid is not None and len(valid):
+        from lightningfastspeech2_tpu.train.loop import StopTraining
         from lightningfastspeech2_tpu.train.metrics import VarianceEarlyStopping
 
         eval_model = build_model(cfg, dataset)
@@ -266,10 +269,23 @@ def main(argv=None):
             mode=cfg.train.variance_early_stopping,
             patience=cfg.train.variance_early_stopping_patience,
         )
+        best = {"loss": float("inf"), "stale": 0}
 
         def eval_fn(step_i, state):
             metrics = evaluate(cfg, valid, eval_model, state.params)
             logger.log(step_i, metrics)
+            # best-checkpoint on eval mel loss (ModelCheckpoint analog,
+            # reference train.py:265-273)
+            mel_loss = metrics.get("eval/mel_loss", float("nan"))
+            if mel_loss == mel_loss and mel_loss < best["loss"]:
+                best["loss"], best["stale"] = mel_loss, 0
+                path = ckpt.save(step_i + 1, state, cfg, sidecar)
+                (ckpt.dir / "best").write_text(path.name)
+            else:
+                best["stale"] += 1
+                if args.early_stopping and best["stale"] >= args.early_stopping_patience:
+                    print("early stopping: eval/mel_loss stalled")
+                    raise StopTraining
             snapshots = {
                 var: state.params.get("variance_adaptor", {}).get(
                     f"encoder_{var}"
@@ -298,6 +314,13 @@ def main(argv=None):
         priors = dataset.create_priors()
         gmms = fit_speaker_gmms(priors, tuple(args.priors),
                                 max_components=args.priors_gmm_max_components)
+        import pickle
+
+        with open(Path(args.checkpoint_dir) / "prior_gmms.pkl", "wb") as fh:
+            pickle.dump(gmms, fh)
+        # also persist the raw per-speaker priors for the "sample" strategy
+        ckpt.save(args.max_steps, result.state, cfg,
+                  {**sidecar, "speaker2priors": priors})
         print(f"fitted prior GMMs for {len(gmms)} speakers")
     logger.close()
     return result

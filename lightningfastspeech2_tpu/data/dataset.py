@@ -144,7 +144,7 @@ class TTSDataset:
         self.speakers = sorted({e.speaker for e in self.entries})
         self.speaker2id = {s: i for i, s in enumerate(self.speakers)}
         self.speaker2dvector = dict(speaker2dvector or {})
-        if cfg.speaker_type == "dvector":
+        if "dvector" in cfg.speaker_type:
             # materialize the full table (real d-vectors come from
             # data/dvector.py; deterministic hash placeholders otherwise)
             for s in self.speakers:
@@ -342,6 +342,17 @@ class TTSDataset:
             if dvec is None:
                 dvec = _hash_dvector(entry.speaker)
             item["speaker"] = dvec.astype(np.float32)
+            # per-utterance d-vector for the diffusion speaker generator
+            # (datasets.py:469: utterance_dvec from <utt>.npy)
+            utt_path = entry.audio_path.with_suffix(".npy")
+            if utt_path.exists():
+                item["utterance_dvec"] = np.load(utt_path).astype(np.float32)
+        elif cfg.speaker_type == "dvector_utterance":
+            utt_path = entry.audio_path.with_suffix(".npy")
+            if utt_path.exists():
+                item["speaker"] = np.load(utt_path).astype(np.float32)
+            else:
+                item["speaker"] = _hash_dvector(entry.utt_id)
         elif cfg.speaker_type == "id":
             item["speaker"] = np.int64(self.speaker2id[entry.speaker])
 
@@ -492,6 +503,10 @@ def collate(
         batch[f"priors_{var}"] = np.asarray([i[f"priors_{var}"] for i in items])
     if cfg.speaker_type != "none":
         batch["speaker"] = np.stack([i["speaker"] for i in items])
+        if all("utterance_dvec" in i for i in items):
+            batch["utterance_dvec"] = np.stack(
+                [i["utterance_dvec"] for i in items]
+            )
     if cfg.load_wav and "wav" in items[0]:
         wav_len = T * cfg.audio.hop_length
         batch["wav"] = pad_batch([i["wav"] for i in items], wav_len)

@@ -97,6 +97,11 @@ def batch_iterator(
         epoch += 1
 
 
+class StopTraining(Exception):
+    """Raised by an eval_fn to end training early (EarlyStopping analog,
+    reference train.py:275-280)."""
+
+
 @dataclass
 class TrainResult:
     state: Any
@@ -227,12 +232,23 @@ def fit(
             }
         if mesh is not None:
             arrs = shard_batch_for_mesh(mesh, arrs, accum_axis=accum > 1)
+        tf = True
+        if cfg.model.tf_ratio < 1.0:
+            # teacher-forcing draw per step (model.py:272); static bool ->
+            # at most two compiled programs
+            tf = bool(np.random.default_rng(cfg.train.seed + step_i).uniform()
+                      <= cfg.model.tf_ratio)
         state, metrics = step_fn(
-            state, arrs, jax.random.fold_in(rng, step_i), frozen=frozen
+            state, arrs, jax.random.fold_in(rng, step_i), tf=tf, frozen=frozen
         )
         if (step_i % cfg.train.log_every == 0) or step_i == max_steps - 1:
             snap = {k: float(v) for k, v in metrics.items()}
             snap["steps_per_s"] = (step_i + 1) / (time.time() - t_start)
+            from lightningfastspeech2_tpu.train.optim import noam_schedule
+
+            snap["lr"] = float(
+                noam_schedule(cfg.train.lr, cfg.train.warmup_steps)(step_i + 1)
+            )
             history.append(snap)
             if log_fn:
                 log_fn(step_i, snap)
@@ -241,7 +257,10 @@ def fit(
         if eval_fn and (step_i + 1) % cfg.train.eval_every == 0:
             # eval_fn may return a new frozen-components tuple (variance
             # early stopping); recompile happens at most once per change
-            new_frozen = eval_fn(step_i, state)
+            try:
+                new_frozen = eval_fn(step_i, state)
+            except StopTraining:
+                break
             if new_frozen:
                 frozen = tuple(new_frozen)
         batch = next(batches)

@@ -201,6 +201,84 @@ def convert_fastspeech2_state_dict(
     return {"params": params}
 
 
+def _maybe_weight_normed_conv(state, prefix, transpose=False):
+    """Conv weight that may exist folded or as weight_g/weight_v pairs
+    (FastDiff applies weight norm, FastDiff.py:197-215)."""
+    from lightningfastspeech2_tpu.vocoder.hifigan import fold_weight_norm
+
+    if f"{prefix}.weight_v" in state:
+        w = fold_weight_norm(state[f"{prefix}.weight_g"],
+                             state[f"{prefix}.weight_v"])
+    else:
+        w = np.asarray(state[f"{prefix}.weight"])
+    perm = (2, 0, 1) if transpose else (2, 1, 0)  # ConvT1d is (in,out,k)
+    return {
+        "kernel": np.transpose(w, perm),
+        "bias": np.asarray(state[f"{prefix}.bias"]),
+    }
+
+
+def convert_fastdiff_state_dict(state: Dict[str, np.ndarray],
+                                n_blocks: int = 3,
+                                lvc_layers: int = 4) -> Dict[str, Any]:
+    """Map a FastDiff vocoder state_dict (reference
+    ``third_party/fastdiff/FastDiff.py`` layout; checkpoints nest it as
+    ckpt['state_dict']['model'], train.py:133-135) into our flax params."""
+    params: Dict[str, Any] = {}
+    params["first_audio_conv"] = _maybe_weight_normed_conv(
+        state, "first_audio_conv"
+    )
+    params["final_conv"] = _maybe_weight_normed_conv(state, "final_conv.0")
+    params["fc_t1"] = _linear(state, "fc_t1")
+    params["fc_t2"] = _linear(state, "fc_t2")
+
+    for i in range(n_blocks):
+        db: Dict[str, Any] = {
+            "residual_dense": _maybe_weight_normed_conv(
+                state, f"downsample.{i}.residual_dense"
+            ),
+        }
+        for j in range(3):
+            db[f"conv_{j}"] = _maybe_weight_normed_conv(
+                state, f"downsample.{i}.conv.{j}"
+            )
+        params[f"downsample_{i}"] = db
+
+    # torch Sequential indices of the 6 convs in KernelPredictor's
+    # residual_conv (Dropout/LeakyReLU interleaved, modules.py:296-313)
+    res_idx = (1, 3, 6, 8, 11, 13)
+    for n in range(n_blocks):
+        p = f"lvc_blocks.{n}"
+        kp: Dict[str, Any] = {
+            "input_conv": _maybe_weight_normed_conv(
+                state, f"{p}.kernel_predictor.input_conv.0"
+            ),
+            "kernel_conv": _maybe_weight_normed_conv(
+                state, f"{p}.kernel_predictor.kernel_conv"
+            ),
+            "bias_conv": _maybe_weight_normed_conv(
+                state, f"{p}.kernel_predictor.bias_conv"
+            ),
+        }
+        for k, idx in enumerate(res_idx):
+            kp[f"residual_conv_{k}"] = _maybe_weight_normed_conv(
+                state, f"{p}.kernel_predictor.residual_conv.{idx}"
+            )
+        block: Dict[str, Any] = {
+            "kernel_predictor": kp,
+            "fc_t": _linear(state, f"{p}.fc_t"),
+            "upsample": _maybe_weight_normed_conv(
+                state, f"{p}.upsample", transpose=True
+            ),
+        }
+        for j in range(lvc_layers):
+            block[f"conv_{j}"] = _maybe_weight_normed_conv(
+                state, f"{p}.convs.{j}"
+            )
+        params[f"lvc_blocks_{n}"] = block
+    return {"params": params}
+
+
 def load_reference_checkpoint(path: str, cfg: Optional[Config] = None):
     """Load a reference ``.ckpt`` (torch pickle): returns
     (flax_variables, sidecar dict with stats/phone2id/speaker tables)."""
