@@ -1,0 +1,112 @@
+"""On-device prosody extraction: raw waveforms in, features computed on TPU.
+
+The BASELINE north star moves the reference's CPU-worker feature extraction
+(pyworld/WADA/RMS per DataLoader item, ``datasets.py:355-474``) onto the
+accelerator. The host pipeline then only decodes/resamples audio and pads
+it to wav buckets; mel, energy, YIN pitch, WADA SNR, NaN interpolation,
+silence masking, phone-averaging and z-normalization all run inside the
+jitted train step (every implementation in audio/ is pure JAX).
+
+CWT-transformed variances stay host-side (ragged wavelet lengths) — use the
+standard pipeline for those configs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightningfastspeech2_tpu.audio import features as feat
+from lightningfastspeech2_tpu.audio import mel as mel_mod
+from lightningfastspeech2_tpu.audio import pitch as pitch_mod
+from lightningfastspeech2_tpu.audio import snr as snr_mod
+from lightningfastspeech2_tpu.core.config import Config
+from lightningfastspeech2_tpu.models.variance_adaptor import StatsTree
+from lightningfastspeech2_tpu.ops import length_regulator as lr
+
+
+def extract_batch_features(
+    wav: jnp.ndarray,            # (B, T*hop) padded raw audio
+    durations: jnp.ndarray,      # (B, P)
+    silence_phone: jnp.ndarray,  # (B, P) True where phone is a [..] token
+    cfg: Config,
+    stats: StatsTree,
+    max_frames: int,
+) -> Dict[str, jnp.ndarray]:
+    """Returns mel (B, T, n_mels) + variances_* matching the host pipeline
+    (datasets.py:562-648 semantics), all jitted."""
+    a = cfg.model.audio
+    vcfg = cfg.model.variance
+    stats_map = dict(stats)
+
+    def per_item(w):
+        out = {
+            "mel": mel_mod.mel_spectrogram(w, a)[:max_frames],
+            "energy": feat.frame_energy(w, a.hop_length, a.win_length)[:max_frames],
+        }
+        if "pitch" in vcfg.variances:
+            out["pitch"] = pitch_mod.track(
+                w, a.sampling_rate, a.hop_length, a.win_length
+            )[:max_frames]
+        if "snr" in vcfg.variances:
+            out["snr"] = snr_mod.windowed_wada(
+                w, a.hop_length, a.win_length
+            )[:max_frames]
+        return out
+
+    raw = jax.vmap(per_item)(wav)
+
+    # expand phone-level silence to the frame grid (TTSDataset._expand)
+    silence_frames, _ = lr.regulate(
+        silence_phone.astype(jnp.float32), durations, max_frames
+    )
+    silence_frames = silence_frames > 0.5
+
+    result: Dict[str, jnp.ndarray] = {"mel": raw["mel"]}
+    for i, var in enumerate(vcfg.variances):
+        if vcfg.transforms[i] == "cwt":
+            raise NotImplementedError(
+                "CWT variances use the host pipeline (ragged wavelets)"
+            )
+        sig = raw[var].astype(jnp.float32)
+        if var == "pitch":
+            sig = jnp.where(sig == 0, jnp.nan, sig)
+            sig = jnp.where(silence_frames, jnp.nan, sig)
+            all_nan = jnp.all(jnp.isnan(sig), axis=1, keepdims=True)
+            sig = jnp.where(all_nan, 1e-7, sig)
+            sig = jax.vmap(feat.interpolate_nans_jnp)(sig)
+        elif var == "snr":
+            sig = jnp.where(silence_frames, jnp.nan, sig)
+            all_nan = jnp.all(jnp.isnan(sig), axis=1, keepdims=True)
+            sig = jax.vmap(feat.interpolate_nans_jnp)(sig)
+            sig = jnp.where(all_nan, 0.0, sig)
+        if vcfg.levels[i] == "phone":
+            P = durations.shape[1]
+            sig = jax.vmap(
+                lambda s, d: feat.phone_average_jnp(s, d, P)
+            )(sig, durations)
+        if vcfg.transforms[i] == "log":
+            sig = jnp.log(jnp.maximum(sig, 1e-10))
+        else:
+            st = stats_map.get(var)
+            if st is not None:
+                sig = (sig - st.mean) / st.std
+        result[f"variances_{var}"] = sig
+    return result
+
+
+def augment_batch_with_features(batch, cfg: Config, stats: StatsTree):
+    """Replace/insert feature arrays computed from batch['wav']; call
+    inside a jitted step. Requires 'wav', 'duration', 'silence_phone'."""
+    max_frames = batch["wav"].shape[1] // cfg.model.audio.hop_length
+    max_frames = min(max_frames, cfg.model.max_frames)
+    feats = extract_batch_features(
+        batch["wav"], batch["duration"], batch["silence_phone"], cfg, stats,
+        max_frames,
+    )
+    out = dict(batch)
+    out.update(feats)
+    return out

@@ -1,0 +1,105 @@
+"""On-device feature extraction vs the host dataset pipeline, end-to-end
+through a jitted call."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightningfastspeech2_tpu.core import config as C
+from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset
+from lightningfastspeech2_tpu.data.synthetic import make_corpus
+from lightningfastspeech2_tpu.models.variance_adaptor import VarianceStats
+from lightningfastspeech2_tpu.train.on_device_features import (
+    augment_batch_with_features,
+    extract_batch_features,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    corpus = make_corpus(tmp_path_factory.mktemp("c"), n_speakers=1,
+                         n_utts=2, seed=11)
+    dcfg = DataConfig(
+        variances=("pitch", "energy", "snr"),
+        variance_levels=("frame", "frame", "frame"),
+        variance_transforms=("none", "none", "none"),
+        augment_duration=0.0, stat_entries=2, load_wav=True,
+        max_phones=32, max_frames=512,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = C.Config(model=C.ModelConfig(
+        variance=C.VarianceConfig(
+            variances=("pitch", "energy", "snr"),
+            levels=("frame", "frame", "frame"),
+            transforms=("none", "none", "none"),
+            losses=("mse", "mse", "mse"),
+            nlayers=(2, 2, 2), kernel_sizes=(3, 3, 3),
+            dropouts=(0.1, 0.1, 0.1), loss_weights=(0.1, 0.1, 0.1),
+        ),
+        max_phones=32, max_frames=512,
+    ))
+    stats = tuple(
+        (v, VarianceStats(**ds.stats[v])) for v in ("pitch", "energy", "snr")
+    )
+    return ds, cfg, stats
+
+
+def test_on_device_matches_host_pipeline(setup):
+    ds, cfg, stats = setup
+    item = ds.__getitem__(0, augment=False)
+    batch = ds.collate([item])
+    T = batch["mel"].shape[1]
+    hop = cfg.model.audio.hop_length
+
+    wav = np.zeros((1, T * hop), np.float32)
+    raw = item["wav"]
+    wav[0, : len(raw)] = raw
+    silence_phone = np.zeros((1, batch["phones"].shape[1]), bool)
+    silence_phone[0, : len(item["unexpanded_silence_mask"])] = item[
+        "unexpanded_silence_mask"
+    ]
+
+    feats = jax.jit(
+        lambda w, d, s: extract_batch_features(w, d, s, cfg, stats, T)
+    )(jnp.asarray(wav), jnp.asarray(batch["duration"]),
+      jnp.asarray(silence_phone))
+
+    n = int(item["duration"].sum())
+    np.testing.assert_allclose(
+        np.asarray(feats["mel"])[0, :n], batch["mel"][0, :n], atol=1e-3
+    )
+    for var in ("energy", "pitch", "snr"):
+        got = np.asarray(feats[f"variances_{var}"])[0, :n]
+        want = batch[f"variances_{var}"][0, :n]
+        # identical algorithms; differences only from f32 accumulation and
+        # the host's float64 interpolation
+        err = np.abs(got - want)
+        assert np.median(err) < 0.05, (var, np.median(err), err.max())
+
+
+def test_augment_batch_inside_jit(setup):
+    ds, cfg, stats = setup
+    items = [ds.__getitem__(i, augment=False) for i in range(2)]
+    batch = ds.collate(items)
+    T = batch["mel"].shape[1]
+    hop = cfg.model.audio.hop_length
+    wav = np.zeros((2, T * hop), np.float32)
+    for b, it in enumerate(items):
+        wav[b, : len(it["wav"])] = it["wav"]
+    jbatch = {
+        "wav": jnp.asarray(wav),
+        "duration": jnp.asarray(batch["duration"]),
+        "silence_phone": jnp.zeros_like(jnp.asarray(batch["duration"]), bool),
+        "phones": jnp.asarray(batch["phones"]),
+    }
+
+    @jax.jit
+    def run(b):
+        out = augment_batch_with_features(b, cfg, stats)
+        return out["mel"], out["variances_pitch"]
+
+    mel, pitch = run(jbatch)
+    assert mel.shape == (2, T, 80)
+    assert np.isfinite(np.asarray(mel)).all()
+    assert np.isfinite(np.asarray(pitch)).all()
