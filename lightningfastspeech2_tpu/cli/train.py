@@ -219,6 +219,11 @@ def main(argv=None):
     dataset = TTSDataset(root=Path(args.train_target_path), cfg=dcfg)
     print(f"{len(dataset)} utterances, {len(dataset.speakers)} speakers, "
           f"{len(dataset.vocab)} phones", flush=True)
+    if len(dataset) == 0:
+        raise SystemExit(
+            f"no usable utterances under {args.train_target_path} (need "
+            "paired <utt>.wav + <utt>.TextGrid files)"
+        )
     if args.sort_data_by_length:
         dataset.sort_by_duration()
 

@@ -23,7 +23,9 @@ from lightningfastspeech2_tpu.core import config as C
 
 class Checkpointer:
     def __init__(self, directory):
-        self.dir = Path(directory)
+        # orbax/tensorstore requires absolute paths (a relative
+        # --checkpoint_dir crashes at the first save otherwise)
+        self.dir = Path(directory).resolve()
         self.dir.mkdir(parents=True, exist_ok=True)
         import orbax.checkpoint as ocp
 

@@ -76,6 +76,12 @@ def batch_iterator(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields collated numpy batches forever (or for ``epochs``)."""
     n = len(dataset)
+    if n < batch_size:
+        # without this, next() on the generator blocks forever
+        raise ValueError(
+            f"dataset has {n} usable utterances but batch_size={batch_size}; "
+            "check the corpus path / length filters"
+        )
     order = np.arange(n)
     if sort_by_length:
         lengths = np.asarray([int(e.durations.sum()) for e in dataset.entries])
