@@ -62,6 +62,65 @@ def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+_pitch_lib: Optional[ctypes.CDLL] = None
+
+
+def pitch_lib() -> ctypes.CDLL:
+    global _pitch_lib
+    if _pitch_lib is None:
+        lib = ctypes.CDLL(str(_build("pitch")))
+        lib.dio_f0.restype = ctypes.c_int
+        lib.dio_f0.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.stonemask_refine.restype = None
+        lib.stonemask_refine.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _pitch_lib = lib
+    return _pitch_lib
+
+
+def dio_pitch(
+    wav: np.ndarray,
+    sampling_rate: int,
+    frame_period_ms: float = None,
+    hop_length: int = 256,
+    f0_floor: float = 71.0,
+    f0_ceil: float = 800.0,
+    refine: bool = True,
+) -> np.ndarray:
+    """DIO-style F0 track + StoneMask-style refinement (native C++ twin of
+    the reference's pyworld path, datasets.py:566-575). frame_period
+    defaults to the mel hop grid (hop/sr*1000 ms). Returns (n_frames,)
+    float64 with 0 = unvoiced."""
+    lib = pitch_lib()
+    wav = np.ascontiguousarray(wav, dtype=np.float64)
+    if frame_period_ms is None:
+        frame_period_ms = hop_length / sampling_rate * 1000.0
+    n_frames = int(len(wav) / sampling_rate * 1000.0 / frame_period_ms) + 1
+    f0 = np.empty(n_frames, dtype=np.float64)
+    got = lib.dio_f0(
+        _ptr(wav), len(wav), ctypes.c_double(sampling_rate),
+        ctypes.c_double(frame_period_ms), ctypes.c_double(f0_floor),
+        ctypes.c_double(f0_ceil), _ptr(f0),
+    )
+    assert got == n_frames
+    if refine:
+        refined = np.empty_like(f0)
+        lib.stonemask_refine(
+            _ptr(wav), len(wav), ctypes.c_double(sampling_rate),
+            ctypes.c_double(frame_period_ms), _ptr(f0), n_frames,
+            _ptr(refined),
+        )
+        f0 = refined
+    return f0
+
+
 def softdtw_cpu(x: np.ndarray, y: np.ndarray, gamma: float = 1.0,
                 normalize: bool = False) -> float:
     """Soft-DTW between (N,D) and (M,D) float sequences on the CPU."""
