@@ -180,7 +180,7 @@ class FFTBlock(nn.Module):
             x, mask, deterministic
         )
         sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + sa)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + sa)
         if self.conformer:
             ff = ConvFFN(
                 self.hidden,
@@ -198,7 +198,7 @@ class FFTBlock(nn.Module):
                 self.dropout,
                 self.dtype,
             )(x, deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
 
 
 class FFTStack(nn.Module):

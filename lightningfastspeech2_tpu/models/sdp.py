@@ -54,10 +54,10 @@ class DilatedDepthSeparableConv(nn.Module):
             b = self.param(f"sep{i}_bias", nn.initializers.zeros, (self.channels,))
             y = depthwise_conv1d(x * m, w.astype(x.dtype), b.astype(x.dtype),
                                  dilation=dilation)
-            y = nn.LayerNorm(dtype=self.dtype, name=f"norm1_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm1_{i}")(y)
             y = nn.gelu(y, approximate=False)
             y = nn.Dense(self.channels, dtype=self.dtype, name=f"conv1x1_{i}")(y)
-            y = nn.LayerNorm(dtype=self.dtype, name=f"norm2_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm2_{i}")(y)
             y = nn.gelu(y, approximate=False)
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             x = x + y

@@ -77,7 +77,7 @@ class VarianceConvLayer(nn.Module):
                 name="conv",
             )(x)
         h = nn.relu(h)
-        h = nn.LayerNorm(dtype=self.dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)  # torch eps
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 

@@ -1,0 +1,229 @@
+"""Numerical parity against the ACTUAL reference torch modules.
+
+The reference tree is mounted read-only at /root/reference; its modules are
+importable (torch is available; scipy.signal.cwt/ricker, removed in scipy
+1.17, are shimmed with our own implementations). Each test builds a
+reference module with random weights, converts the state dict through
+utils/torch_convert.py, and asserts our flax twin produces the same outputs
+— the op-level backbone of the BASELINE "allclose to reference checkpoints"
+goal.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference package with the scipy shim."""
+    import scipy.signal
+
+    from lightningfastspeech2_tpu.audio.cwt import ricker as _ricker
+
+    if not hasattr(scipy.signal, "cwt"):
+        def _cwt(data, wavelet, widths):
+            return np.stack([
+                np.convolve(data, wavelet(int(min(10 * w, len(data))), w),
+                            mode="same")
+                for w in widths
+            ])
+
+        scipy.signal.cwt = _cwt
+        scipy.signal.ricker = _ricker
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import litfass.fastspeech2.model as ref_model
+    import litfass.third_party.stochastic_duration_predictor.transforms as ref_transforms
+
+    return ref_model, ref_transforms
+
+
+def _jnp(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+@pytest.mark.parametrize("depthwise", [True, False])
+def test_conformer_layer_parity(ref, depthwise):
+    import jax
+
+    from lightningfastspeech2_tpu.models.layers import FFTBlock
+    from lightningfastspeech2_tpu.utils import torch_convert as tc
+
+    ref_model, _ = ref
+    torch.manual_seed(0)
+    H, F, k = 32, 64, 5
+    layer = ref_model.ConformerEncoderLayer(
+        H, 2, conv_in=H, conv_filter_size=F, conv_kernel=(k, 1),
+        batch_first=True, dropout=0.0, conv_depthwise=depthwise,
+    ).eval()
+
+    state = {f"enc.layers.0.{n}": p.detach().numpy()
+             for n, p in layer.state_dict().items()}
+    params = tc._fft_stack(state, "enc", 1, depthwise, H)["layer0"]
+
+    g = np.random.default_rng(0)
+    x = g.standard_normal((2, 12, H)).astype(np.float32)
+    pad = np.zeros((2, 12), bool)
+    pad[1, 9:] = True
+    with torch.no_grad():
+        want = layer(torch.from_numpy(x),
+                     src_key_padding_mask=torch.from_numpy(pad)).numpy()
+
+    block = FFTBlock(hidden=H, heads=2, kernel1=k, kernel2=1, filter_size=F,
+                     depthwise=depthwise, dropout=0.0)
+    got = block.apply(
+        {"params": jax.tree_util.tree_map(_jnp, params)},
+        _jnp(x), _jnp(~pad), True,
+    )
+    np.testing.assert_allclose(np.asarray(got)[~pad], want[~pad], atol=3e-5)
+
+
+@pytest.mark.parametrize("depthwise", [True, False])
+def test_variance_predictor_parity(ref, depthwise):
+    import jax
+
+    from lightningfastspeech2_tpu.models.variance_adaptor import (
+        VariancePredictor,
+    )
+    from lightningfastspeech2_tpu.utils import torch_convert as tc
+
+    ref_model, _ = ref
+    torch.manual_seed(1)
+    # NOTE: filter_size must equal hidden here — the reference's
+    # VarianceConvolutionLayer is built with in_channels=H for EVERY layer,
+    # so F != H crashes the reference itself (masked by its 256/256
+    # defaults); our implementation handles both
+    H, F, k, n_layers = 32, 32, 3, 2
+    vp = ref_model.VariancePredictor(n_layers, H, F, k, 0.0, depthwise).eval()
+    state = {f"p.{n}": p.detach().numpy() for n, p in vp.state_dict().items()}
+    params = tc._variance_predictor(state, "p", n_layers, depthwise)
+
+    g = np.random.default_rng(1)
+    x = g.standard_normal((2, 9, H)).astype(np.float32)
+    pad = np.zeros((2, 9), bool)
+    pad[0, 7:] = True
+    with torch.no_grad():
+        want = vp(torch.from_numpy(x), torch.from_numpy(pad)).numpy()
+    got = VariancePredictor(n_layers, H, F, k, 0.0, depthwise).apply(
+        {"params": jax.tree_util.tree_map(_jnp, params)},
+        _jnp(x), _jnp(~pad), True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_variance_encoder_parity(ref):
+    import jax
+
+    from lightningfastspeech2_tpu.models.variance_adaptor import (
+        VarianceEncoder, VarianceStats,
+    )
+    from lightningfastspeech2_tpu.utils import torch_convert as tc
+
+    ref_model, _ = ref
+    torch.manual_seed(2)
+    H, F, k, nl, nbins = 32, 32, 3, 2, 16  # F == H (see note above)
+    st = dict(min=-2.0, max=2.0, mean=0.5, std=1.5)
+    enc = ref_model.VarianceEncoder(
+        nl, H, F, k, 0.0, True, st["min"], st["max"], st["mean"], st["std"],
+        nbins, cwt=False,
+    ).eval()
+    state = {f"e.{n}": p.detach().numpy() for n, p in enc.state_dict().items()}
+    params = {
+        "predictor": tc._variance_predictor(state, "e.predictor", nl, True),
+        "embedding": {"embedding": state["e.embedding.weight"]},
+    }
+
+    g = np.random.default_rng(2)
+    x = g.standard_normal((2, 9, H)).astype(np.float32)
+    tgt = g.standard_normal((2, 9)).astype(np.float32)
+    pad = np.zeros((2, 9), bool)
+
+    ours = VarianceEncoder(nl, H, F, k, 0.0, True, VarianceStats(**st), nbins)
+    variables = {"params": jax.tree_util.tree_map(_jnp, params)}
+
+    # teacher-forced: embedding of bucketized denormalized target
+    with torch.no_grad():
+        want_pred, want_emb = enc(
+            torch.from_numpy(x), torch.from_numpy(tgt), torch.from_numpy(pad)
+        )
+    got_pred, got_emb = ours.apply(variables, _jnp(x), _jnp(tgt), _jnp(~pad))
+    np.testing.assert_allclose(np.asarray(got_pred), want_pred.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_emb), want_emb.numpy(), atol=2e-5)
+
+    # inference: embedding of bucketized prediction
+    with torch.no_grad():
+        want_pred, want_emb = enc(torch.from_numpy(x), None, torch.from_numpy(pad))
+    got_pred, got_emb = ours.apply(variables, _jnp(x), None, _jnp(~pad))
+    np.testing.assert_allclose(np.asarray(got_pred), want_pred.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_emb), want_emb.numpy(), atol=2e-5)
+
+
+def test_length_regulator_parity(ref):
+    from lightningfastspeech2_tpu.ops import length_regulator as lr
+
+    ref_model, _ = ref
+    g = np.random.default_rng(3)
+    x = g.standard_normal((3, 8, 4)).astype(np.float32)
+    durations = g.integers(0, 5, (3, 8))
+    reg = ref_model.LengthRegulator()
+    with torch.no_grad():
+        want, want_mask = reg(
+            torch.from_numpy(x), torch.from_numpy(durations), max_length=64
+        )
+    got, got_mask = lr.regulate(_jnp(x), _jnp(durations.astype(np.int32)), 64)
+    T = want.shape[1]
+    np.testing.assert_allclose(np.asarray(got)[:, :T], want.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_mask)[:, :T],
+                                  ~want_mask.numpy())
+    assert not np.asarray(got_mask)[:, T:].any()
+
+
+def test_spline_transform_parity(ref):
+    from lightningfastspeech2_tpu.ops.splines import (
+        piecewise_rational_quadratic_transform as ours,
+    )
+
+    _, ref_transforms = ref
+    g = np.random.default_rng(4)
+    shape = (2, 7)
+    K = 10
+    x = g.uniform(-7, 7, shape).astype(np.float32)
+    uw = g.standard_normal(shape + (K,)).astype(np.float32)
+    uh = g.standard_normal(shape + (K,)).astype(np.float32)
+    ud = g.standard_normal(shape + (K - 1,)).astype(np.float32)
+
+    for inverse in (False, True):
+        want_y, want_ld = ref_transforms.piecewise_rational_quadratic_transform(
+            torch.from_numpy(x), torch.from_numpy(uw), torch.from_numpy(uh),
+            torch.from_numpy(ud), inverse=inverse, tails="linear",
+            tail_bound=5.0,
+        )
+        got_y, got_ld = ours(_jnp(x), _jnp(uw), _jnp(uh), _jnp(ud),
+                             inverse=inverse, tails="linear", tail_bound=5.0)
+        np.testing.assert_allclose(np.asarray(got_y), want_y.numpy(),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_ld), want_ld.numpy(),
+                                   atol=2e-3)
+
+
+def test_positional_encoding_parity(ref):
+    import jax
+
+    from lightningfastspeech2_tpu.models.layers import PositionalEncoding
+
+    ref_model, _ = ref
+    pe_ref = ref_model.PositionalEncoding(32, dropout=0.0).eval()
+    g = np.random.default_rng(5)
+    x = g.standard_normal((2, 20, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = pe_ref(torch.from_numpy(x)).numpy()
+    pe = PositionalEncoding(32, dropout=0.0)
+    params = pe.init(jax.random.PRNGKey(0), _jnp(x))
+    got = pe.apply(params, _jnp(x), True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
