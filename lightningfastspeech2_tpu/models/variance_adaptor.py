@@ -102,6 +102,16 @@ class VariancePredictor(nn.Module):
         deterministic: bool = True,
         return_conv: bool = False,
     ):
+        # The reference's tensors END at the batch-max sequence length; our
+        # static bucket extends further, and LayerNorm bias in those extra
+        # rows would leak into the last frames through the convs. Zeroing
+        # everything beyond the batch-wide extent (any() over the batch)
+        # reproduces the reference exactly: rows the reference also has
+        # (including shorter items' pad rows) stay computed, rows it never
+        # materializes contribute nothing.
+        extent = None
+        if mask is not None:
+            extent = jnp.any(mask, axis=0, keepdims=True)[..., None]
         h = x
         for i in range(self.nlayers):
             h = VarianceConvLayer(
@@ -113,6 +123,8 @@ class VariancePredictor(nn.Module):
                 self.dtype,
                 name=f"conv{i}",
             )(h, deterministic)
+            if extent is not None:
+                h = jnp.where(extent, h, 0.0)
         out = nn.Dense(10 if self.cwt else 1, dtype=self.dtype, name="linear")(h)
         if not self.cwt:
             out = out[..., 0]
