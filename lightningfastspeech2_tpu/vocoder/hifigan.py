@@ -201,7 +201,9 @@ class Generator(nn.Module):
                           name=f"resblocks_{i * n_kernels + j}")(x)
                 acc = out if acc is None else acc + out
             x = acc / n_kernels
-        x = nn.leaky_relu(x, LRELU_SLOPE)  # models.py:161 (slope default)
+        # models.py:161 uses F.leaky_relu's DEFAULT slope (0.01) here,
+        # unlike every other activation in the network
+        x = nn.leaky_relu(x, 0.01)
         x = TorchConv1d(1, 7, 1, 3, self.dtype, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 

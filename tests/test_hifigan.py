@@ -126,7 +126,9 @@ class TorchRefGenerator(torch.nn.Module):
                     out = out + c2(lr(c1(lr(out))))
                 acc = out if acc is None else acc + out
             x = acc / nk
-        return torch.tanh(self.conv_post(lr(x)))
+        # final activation uses torch's default slope 0.01 (models.py:161)
+        x = torch.nn.functional.leaky_relu(x, 0.01)
+        return torch.tanh(self.conv_post(x))
 
 
 def test_torch_conversion_allclose():
