@@ -201,6 +201,38 @@ def convert_fastspeech2_state_dict(
     return {"params": params}
 
 
+def _conv1x1_to_dense(state, prefix):
+    """Conv1d(in,out,1) -> Dense: weight (out,in,1) -> kernel (in,out)."""
+    w = np.asarray(state[f"{prefix}.weight"])[:, :, 0]
+    return {"kernel": w.T, "bias": np.asarray(state[f"{prefix}.bias"])}
+
+
+def _dds_conv(state, prefix, num_layers):
+    """DilatedDepthSeparableConv (sdp.py:11-73) -> models/sdp.py params."""
+    out: Dict[str, Any] = {}
+    for i in range(num_layers):
+        w = np.asarray(state[f"{prefix}.convs_sep.{i}.weight"])  # (C,1,k)
+        out[f"sep{i}_kernel"] = np.transpose(w, (2, 1, 0))  # (k,1,C)
+        out[f"sep{i}_bias"] = np.asarray(state[f"{prefix}.convs_sep.{i}.bias"])
+        out[f"conv1x1_{i}"] = _conv1x1_to_dense(state, f"{prefix}.convs_1x1.{i}")
+        for which in (1, 2):
+            out[f"norm{which}_{i}"] = {
+                "scale": np.asarray(state[f"{prefix}.norms_{which}.{i}.gamma"]),
+                "bias": np.asarray(state[f"{prefix}.norms_{which}.{i}.beta"]),
+            }
+    return out
+
+
+def convert_conv_flow(state: Dict[str, np.ndarray], prefix: str,
+                      num_layers: int = 3) -> Dict[str, Any]:
+    """Reference ConvFlow (sdp.py:100-169) -> models/sdp.py ConvFlow."""
+    return {
+        "pre": _conv1x1_to_dense(state, f"{prefix}.pre"),
+        "convs": _dds_conv(state, f"{prefix}.convs", num_layers),
+        "proj": _conv1x1_to_dense(state, f"{prefix}.proj"),
+    }
+
+
 def _maybe_weight_normed_conv(state, prefix, transpose=False):
     """Conv weight that may exist folded or as weight_g/weight_v pairs
     (FastDiff applies weight norm, FastDiff.py:197-215)."""
