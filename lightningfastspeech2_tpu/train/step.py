@@ -67,6 +67,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    zero1: bool = False,
 ):
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -132,9 +133,22 @@ def make_train_step(
 
     donate_args = (0,) if donate else ()
     if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        if zero1:
+            # ZeRO-1: optimizer state stays sharded over the data axis;
+            # out_shardings resolved lazily from the state's own structure
+            def jitted(state, batch, rng, tf=True, frozen=()):
+                shardings = zero1_shardings(mesh, state)
+                fn = jax.jit(
+                    step, static_argnames=("tf", "frozen"),
+                    donate_argnums=donate_args,
+                    out_shardings=(shardings, replicated),
+                )
+                return fn(state, batch, rng, tf=tf, frozen=frozen)
+
+            return jitted
         # state and metrics replicated; the batch arrives data-sharded via
         # shard_batch_for_mesh and XLA inserts the gradient all-reduce
-        replicated = NamedSharding(mesh, P())
         return jax.jit(
             step,
             static_argnames=("tf", "frozen"),
@@ -142,6 +156,40 @@ def make_train_step(
             out_shardings=(replicated, replicated),
         )
     return jax.jit(step, static_argnames=("tf", "frozen"), donate_argnums=donate_args)
+
+
+def zero1_shardings(mesh: Mesh, state: TrainState):
+    """ZeRO-1-style sharding tree for a TrainState: params replicated,
+    optimizer moments sharded over the ``data`` axis on their largest
+    divisible dimension (SURVEY.md §2.8 "cheap insurance"). XLA then
+    computes the AdamW update shard-wise and all-gathers only the updates —
+    the classic ZeRO-1 communication pattern — with per-chip optimizer
+    memory cut by the data-axis size."""
+    n_data = mesh.devices.shape[0]
+    replicated = NamedSharding(mesh, P())
+
+    def opt_leaf(x):
+        shape = getattr(x, "shape", ())
+        for dim, size in enumerate(shape):
+            if size % n_data == 0 and size >= n_data:
+                spec = [None] * len(shape)
+                spec[dim] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return replicated
+
+    return TrainState(
+        params=jax.tree_util.tree_map(lambda _: replicated, state.params),
+        opt_state=jax.tree_util.tree_map(opt_leaf, state.opt_state),
+        step=replicated,
+    )
+
+
+def shard_state_zero1(mesh: Mesh, state: TrainState) -> Tuple[TrainState, Any]:
+    """Place a TrainState according to zero1_shardings; returns (state,
+    shardings) — pass the shardings as the train step's out_shardings."""
+    shardings = zero1_shardings(mesh, state)
+    placed = jax.tree_util.tree_map(jax.device_put, state, shardings)
+    return placed, shardings
 
 
 def make_eval_step(model: FastSpeech2, cfg: Config):
