@@ -121,6 +121,7 @@ class TTSDataset:
         stats: Optional[Dict[str, Dict[str, float]]] = None,
         speaker2dvector: Optional[Dict[str, np.ndarray]] = None,
         compute_stats: bool = True,
+        cache_dir: Optional[Path] = None,
     ):
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
@@ -154,7 +155,12 @@ class TTSDataset:
 
         self.stats = stats
         if self.stats is None and compute_stats:
-            self.stats = self._create_stats()
+            if cache_dir is not None and self.load_cache(cache_dir):
+                pass  # stats + vocab restored from cache
+            else:
+                self.stats = self._create_stats()
+                if cache_dir is not None:
+                    self.save_cache(cache_dir)
 
     # ------------------------------------------------------------ scanning
     @staticmethod
@@ -425,6 +431,44 @@ class TTSDataset:
             for spk, d in per_speaker.items()
         }
         return self.speaker2priors
+
+    # --------------------------------------------------------------- cache
+    def cache_key(self) -> str:
+        """Fingerprint of (config, file list, mtimes) for the scan/stats
+        cache (the reference md5-pickles whole datasets, train.py:139-217;
+        here only derived metadata is cached, never code objects)."""
+        import dataclasses
+
+        h = hashlib.md5()
+        h.update(json.dumps(dataclasses.asdict(self.cfg), sort_keys=True,
+                            default=str).encode())
+        for e in sorted(self.entries, key=lambda e: e.utt_id):
+            h.update(e.utt_id.encode())
+            try:
+                h.update(str(e.audio_path.stat().st_mtime_ns).encode())
+            except OSError:
+                pass
+        return h.hexdigest()
+
+    def save_cache(self, cache_dir) -> Path:
+        path = Path(cache_dir)
+        path.mkdir(parents=True, exist_ok=True)
+        out = path / f"stats_{self.cache_key()}.json"
+        out.write_text(json.dumps({
+            "stats": self.stats,
+            "phone2id": self.vocab.to_dict(),
+        }))
+        return out
+
+    def load_cache(self, cache_dir) -> bool:
+        """Restore stats/vocab if a matching cache exists; returns hit."""
+        path = Path(cache_dir) / f"stats_{self.cache_key()}.json"
+        if not path.exists():
+            return False
+        data = json.loads(path.read_text())
+        self.stats = data["stats"]
+        self.vocab = Vocab.from_dict(data["phone2id"])
+        return True
 
     def shard_across_hosts(self) -> "TTSDataset":
         """Multi-host input sharding: each host keeps a strided slice of

@@ -146,3 +146,24 @@ def test_priors_per_speaker(dataset):
     for spk, d in priors.items():
         assert set(d) == {"pitch", "duration"}
         assert len(d["pitch"]) == 3
+
+
+def test_stats_cache_roundtrip(corpus, tmp_path):
+    cfg = DataConfig(
+        variances=("energy",), variance_levels=("frame",),
+        variance_transforms=("none",), augment_duration=0.0,
+        stat_entries=2, max_phones=64, max_frames=512,
+    )
+    ds1 = TTSDataset(root=corpus, cfg=cfg, cache_dir=tmp_path)
+    assert list(tmp_path.glob("stats_*.json"))
+    ds2 = TTSDataset(root=corpus, cfg=cfg, cache_dir=tmp_path)
+    assert ds2.stats == ds1.stats
+    assert ds2.vocab.phone2id == ds1.vocab.phone2id
+    # different config -> different key, no false hit
+    cfg3 = DataConfig(
+        variances=("energy",), variance_levels=("frame",),
+        variance_transforms=("none",), augment_duration=0.0,
+        stat_entries=1, max_phones=64, max_frames=512,
+    )
+    ds3 = TTSDataset(root=corpus, cfg=cfg3, cache_dir=tmp_path)
+    assert len(list(tmp_path.glob("stats_*.json"))) == 2
