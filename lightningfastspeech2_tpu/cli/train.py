@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1)
     # io
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--cache_path", type=str, default=None,
+                   help="dataset scan/stats cache directory (reference "
+                        "--cache_path analog)")
     p.add_argument("--from_checkpoint", type=str, default=None)
     p.add_argument("--log_dir", type=str, default="logs")
     p.add_argument("--log_every", type=int, default=50)
@@ -216,7 +219,10 @@ def main(argv=None):
         max_frames=cfg.model.max_frames,
     )
     print(f"scanning corpus {args.train_target_path} ...", flush=True)
-    dataset = TTSDataset(root=Path(args.train_target_path), cfg=dcfg)
+    dataset = TTSDataset(
+        root=Path(args.train_target_path), cfg=dcfg,
+        cache_dir=Path(args.cache_path) if args.cache_path else None,
+    )
     print(f"{len(dataset)} utterances, {len(dataset.speakers)} speakers, "
           f"{len(dataset.vocab)} phones", flush=True)
     if len(dataset) == 0:
