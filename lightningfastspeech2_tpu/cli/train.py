@@ -269,6 +269,39 @@ def main(argv=None):
     def checkpoint_fn(step_i, state):
         ckpt.save(step_i + 1, state, cfg, sidecar)
 
+    resume_state = None
+    if args.from_checkpoint:
+        # warm start (reference train.py:240-260 load_from_checkpoint
+        # strict=False): restore params with shape-mismatch tolerance;
+        # optimizer state only when the architecture matches exactly
+        from lightningfastspeech2_tpu.core.checkpoint import warm_start
+        from lightningfastspeech2_tpu.models.fastspeech2 import init_params
+        from lightningfastspeech2_tpu.train.loop import (
+            batch_iterator, build_model,
+        )
+        from lightningfastspeech2_tpu.train.optim import make_optimizer
+        from lightningfastspeech2_tpu.train.step import TrainState
+
+        import jax.numpy as jnp
+
+        src = Checkpointer(args.from_checkpoint)
+        restored, _, _ = src.restore()
+        model0 = build_model(cfg, dataset)
+        first = next(batch_iterator(dataset, cfg.train.batch_size,
+                                    seed=cfg.train.seed))
+        init_batch = {k: jnp.asarray(v) for k, v in first.items()
+                      if not isinstance(v, (str, list))}
+        fresh = init_params(model0, jax.random.PRNGKey(cfg.train.seed),
+                            init_batch)["params"]
+        merged, used, dropped = warm_start(fresh, restored["params"])
+        print(f"warm start: {used} tensors restored, {dropped} kept fresh")
+        optimizer = make_optimizer(cfg.train)
+        resume_state = TrainState(
+            params=merged,
+            opt_state=optimizer.init(merged),
+            step=jnp.asarray(restored.get("step", 0), jnp.int32),
+        )
+
     eval_fn = None
     if valid is not None and len(valid):
         from lightningfastspeech2_tpu.train.loop import StopTraining
@@ -311,6 +344,7 @@ def main(argv=None):
                                            for k, v in m.items()}),
         checkpoint_fn=checkpoint_fn,
         eval_fn=eval_fn,
+        state=resume_state,
     )
     ckpt.save(args.max_steps, result.state, cfg, sidecar)
 

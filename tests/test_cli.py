@@ -64,3 +64,34 @@ def test_train_and_generate_cli(corpus, tmp_path):
     wavs = list(resynth_dir.rglob("*.wav"))
     assert wavs, "no re-synthesized wavs written"
     assert list(resynth_dir.rglob("*.meta"))
+
+
+def test_warm_start_resume(corpus, tmp_path):
+    """--from_checkpoint restores params (tolerant) and continues."""
+    from lightningfastspeech2_tpu.cli import train as train_cli
+
+    common = [
+        "--train_target_path", str(corpus),
+        "--log_dir", str(tmp_path / "logs2"),
+        "--batch_size", "2",
+        "--variances", "energy", "--variance_levels", "frame",
+        "--variance_transforms", "none", "--variance_nlayers", "2",
+        "--encoder_hidden", "32", "--decoder_hidden", "32",
+        "--encoder_layers", "2", "--decoder_layers", "2",
+        "--encoder_kernel_sizes", "3", "5",
+        "--decoder_kernel_sizes", "5", "3",
+        "--encoder_conv_filter_size", "64",
+        "--decoder_conv_filter_size", "64",
+        "--variance_filter_size", "32", "--duration_filter_size", "32",
+        "--stat_entries", "2", "--augment_duration", "0",
+        "--precision", "32", "--checkpoint_every", "100",
+        "--log_every", "1",
+    ]
+    ckpt1 = tmp_path / "ck1"
+    train_cli.main(common + ["--checkpoint_dir", str(ckpt1),
+                             "--max_steps", "2"])
+    ckpt2 = tmp_path / "ck2"
+    train_cli.main(common + ["--checkpoint_dir", str(ckpt2),
+                             "--max_steps", "2",
+                             "--from_checkpoint", str(ckpt1)])
+    assert (ckpt2 / "latest").exists()
