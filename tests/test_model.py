@@ -166,3 +166,24 @@ def test_param_count_76m_config():
     params = init_params(model, jax.random.PRNGKey(0), batch)
     n = param_count(params["params"])
     assert 5e6 < n < 2e8, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_every_layer_embedding_paths():
+    """speaker/prior embeddings re-injected at every layer — the feature
+    the reference intended but broke (SURVEY 'defects to NOT replicate')."""
+    cfg = tiny_config(
+        speaker_embedding_every_layer=True,
+        prior_embedding_every_layer=True,
+        priors=("pitch",),
+    )
+    model = FastSpeech2(cfg.model)
+    batch = make_dummy_batch(cfg.model, batch_size=2, n_phones=8, seed=4)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = init_params(model, jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch, deterministic=True)
+    assert np.isfinite(np.asarray(out["mel"])).all()
+    # changing the prior value must change the output through every layer
+    batch2 = dict(batch)
+    batch2["priors_pitch"] = batch["priors_pitch"] + 10.0
+    out2 = model.apply(params, batch2, deterministic=True)
+    assert not np.allclose(np.asarray(out["mel"]), np.asarray(out2["mel"]))
