@@ -9,6 +9,12 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.skipif(
+    not __import__("pathlib").Path("/root/reference").exists(),
+    reason="reference tree not mounted",
+)
+
+
 
 @pytest.fixture(scope="module")
 def ref_sdp():
