@@ -88,3 +88,44 @@ def test_overfit_single_batch_mel(dataset):
     fit(cfg, dataset, max_steps=120,
         log_fn=lambda s, m: logs.append(m["mel"]))
     assert logs[-1] < 0.6 * logs[0], f"mel loss: {logs[0]:.3f} -> {logs[-1]:.3f}"
+
+
+def test_fit_with_cwt_pitch(corpus):
+    """CWT-transformed pitch variance through the whole pipeline:
+    dataset decomposition -> collation -> model spectrogram losses."""
+    dcfg = DataConfig(
+        variances=("pitch",),
+        variance_levels=("frame",),
+        variance_transforms=("cwt",),
+        augment_duration=0.0,
+        speaker_type="dvector",
+        stat_entries=4,
+        max_phones=32,
+        max_frames=256,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = small_train_config()
+    var = C.VarianceConfig(
+        variances=("pitch",), levels=("frame",), transforms=("cwt",),
+        losses=("mse",), nlayers=(2,), kernel_sizes=(3,), dropouts=(0.1,),
+        loss_weights=(0.1,), filter_size=48, nbins=32,
+    )
+    cfg = C.replace(cfg, **{"model.variance": var})
+    result = fit(cfg, ds, max_steps=3)
+    last = result.history[-1]
+    for key in ("pitch_cwt", "pitch_mean", "pitch_std", "mel", "total"):
+        assert key in last and np.isfinite(last[key]), (key, last)
+
+
+def test_fit_with_soft_dtw_mel_loss(dataset):
+    """soft-DTW as the mel training loss (reference loss.py:69-78 chunked
+    path) through the jitted train step."""
+    cfg = small_train_config()
+    cfg = C.replace(cfg, **{
+        "train.mel_loss": "soft_dtw",
+        "train.soft_dtw_gamma": 0.1,
+        "train.soft_dtw_chunk_size": 128,
+    })
+    result = fit(cfg, dataset, max_steps=2)
+    assert np.isfinite(result.history[-1]["mel"])
+    assert np.isfinite(result.history[-1]["total"])
