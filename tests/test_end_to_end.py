@@ -129,3 +129,44 @@ def test_fit_with_soft_dtw_mel_loss(dataset):
     result = fit(cfg, dataset, max_steps=2)
     assert np.isfinite(result.history[-1]["mel"])
     assert np.isfinite(result.history[-1]["total"])
+
+
+def test_fit_with_stochastic_duration(dataset):
+    """Flow-based duration predictor through the jitted train step."""
+    cfg = small_train_config()
+    cfg = C.replace(cfg, **{
+        "model.duration": C.DurationConfig(
+            nlayers=2, stochastic=True, filter_size=48, dropout=0.1,
+        ),
+    })
+    result = fit(cfg, dataset, max_steps=2)
+    assert np.isfinite(result.history[-1]["duration"])
+    assert np.isfinite(result.history[-1]["total"])
+
+
+def test_fit_with_fastdiff_variances(corpus):
+    """Diffusion variance adaptor (frame-level only, like the reference)
+    through the train loop — needs a frame-level dataset."""
+    dcfg = DataConfig(
+        variances=("pitch", "energy"),
+        variance_levels=("frame", "frame"),
+        variance_transforms=("none", "none"),
+        augment_duration=0.0, speaker_type="dvector",
+        stat_entries=4, max_phones=32, max_frames=256,
+    )
+    dataset = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = small_train_config()
+    var = C.VarianceConfig(
+        variances=("pitch", "energy"), levels=("frame", "frame"),
+        transforms=("none", "none"), losses=("mse", "mse"), nlayers=(2, 2),
+        kernel_sizes=(3, 3), dropouts=(0.1, 0.1), loss_weights=(0.1, 0.1),
+        filter_size=48, nbins=32,
+    )
+    cfg = C.replace(cfg, **{
+        "model.variance": var,
+        "model.fastdiff_variances": True,
+    })
+    result = fit(cfg, dataset, max_steps=2)
+    last = result.history[-1]
+    for key in ("pitch", "energy", "duration", "mel", "total"):
+        assert key in last and np.isfinite(last[key]), (key, last)
