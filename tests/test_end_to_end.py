@@ -170,3 +170,17 @@ def test_fit_with_fastdiff_variances(corpus):
     last = result.history[-1]
     for key in ("pitch", "energy", "duration", "mel", "total"):
         assert key in last and np.isfinite(last[key]), (key, last)
+
+
+def test_fit_vanilla_convs(dataset):
+    """BASELINE config #1 style: non-depthwise (original FastSpeech2)
+    convolutions through the train loop."""
+    cfg = small_train_config()
+    cfg = C.replace(cfg, **{
+        "model.encoder": C.replace(cfg.model.encoder, depthwise=False),
+        "model.decoder": C.replace(cfg.model.decoder, depthwise=False),
+        "model.variance": C.replace(cfg.model.variance, depthwise=False),
+        "model.duration": C.replace(cfg.model.duration, depthwise=False),
+    })
+    result = fit(cfg, dataset, max_steps=2)
+    assert np.isfinite(result.history[-1]["total"])
