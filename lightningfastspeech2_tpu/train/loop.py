@@ -221,7 +221,9 @@ def fit(
         from lightningfastspeech2_tpu.train.optim import make_optimizer
 
         optimizer = make_optimizer(cfg.train)
-    step_fn = make_train_step(model, cfg, optimizer, mesh=mesh, donate=False)
+    # donate the state buffers: the previous step's params/opt-state are
+    # dead after each update, halving peak HBM for the optimizer tree
+    step_fn = make_train_step(model, cfg, optimizer, mesh=mesh, donate=True)
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     history: List[Dict[str, float]] = []
