@@ -184,3 +184,11 @@ def test_fit_vanilla_convs(dataset):
     })
     result = fit(cfg, dataset, max_steps=2)
     assert np.isfinite(result.history[-1]["total"])
+
+
+def test_fit_bf16(dataset):
+    """bf16 activation policy (the flagship training precision)."""
+    cfg = small_train_config()
+    cfg = C.replace(cfg, **{"train.bf16": True})
+    result = fit(cfg, dataset, max_steps=2)
+    assert np.isfinite(result.history[-1]["total"])
