@@ -183,6 +183,9 @@ class TrainConfig:
     grad_accum: int = 1
     max_steps: int = 100_000
     bf16: bool = True  # bfloat16 activations, f32 params/optimizer
+    # compute mel/pitch/energy/SNR on-device inside the train step from raw
+    # waveforms (requires DataConfig.raw_mode batches)
+    on_device_features: bool = False
     seed: int = 42
     mel_loss: str = "l1"
     mel_loss_weight: float = 1.0

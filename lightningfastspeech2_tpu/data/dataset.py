@@ -60,6 +60,10 @@ class DataConfig:
     seed: int = 42
     source_phoneset: str = "arpabet"
     load_wav: bool = False
+    # raw mode: skip ALL host-side feature extraction; items carry only
+    # phones/durations/wav/silence masks, features are computed on-device
+    # inside the train step (train/on_device_features.py)
+    raw_mode: bool = False
     max_phones: int = 512
     max_frames: int = 2816
 
@@ -245,6 +249,35 @@ class TTSDataset:
         entry = self.entries[idx]
         cfg = self.cfg
         wav = self._load_audio(entry)
+
+        if cfg.raw_mode:
+            durations = entry.durations.copy()
+            if augment and cfg.augment_duration > 0:
+                durations = features.augment_durations(
+                    durations, self.rng, cfg.augment_duration
+                )
+            phone_ids = np.asarray(self.vocab.encode(entry.phones), np.int64)
+            silence_phone = np.asarray(
+                [p.startswith("[") for p in entry.phones], dtype=bool
+            )
+            item: Dict[str, Any] = {
+                "id": entry.utt_id,
+                "phones": phone_ids,
+                "duration": durations.astype(np.int64),
+                "silence_phone": silence_phone,
+                "wav": wav,
+                "text": entry.text,
+                "speaker_key": entry.speaker,
+            }
+            if cfg.speaker_type == "dvector":
+                dvec = self.speaker2dvector.get(entry.speaker)
+                item["speaker"] = (
+                    dvec if dvec is not None else _hash_dvector(entry.speaker)
+                ).astype(np.float32)
+            elif cfg.speaker_type == "id":
+                item["speaker"] = np.int64(self.speaker2id[entry.speaker])
+            return item
+
         feats = self._extract(wav)
 
         durations = entry.durations.copy()
@@ -370,6 +403,16 @@ class TTSDataset:
     def _create_stats(self) -> Dict[str, Dict[str, float]]:
         """Streaming corpus statistics over the first ``stat_entries`` items
         (reference ``datasets.py:214-304,744-794``)."""
+        if self.cfg.raw_mode:
+            # stats always need full extraction; temporarily leave raw mode
+            import dataclasses
+
+            full_cfg = dataclasses.replace(self.cfg, raw_mode=False)
+            saved, self.cfg = self.cfg, full_cfg
+            try:
+                return self._create_stats()
+            finally:
+                self.cfg = saved
         n = min(len(self.entries), self.cfg.stat_entries)
         acc: Dict[str, List[np.ndarray]] = {}
         for idx in range(n):
@@ -511,6 +554,23 @@ def collate(
     bucket, attach ``*_lengths``."""
     bucketer = bucketer or Bucketer(cfg.max_phones, cfg.max_frames)
     P = bucketer.phone_bucket(max(len(i["phones"]) for i in items))
+
+    if cfg.raw_mode:
+        T = bucketer.frame_bucket(max(int(i["duration"].sum()) for i in items))
+        batch = {
+            "phones": pad_batch([i["phones"] for i in items], P),
+            "duration": pad_batch([i["duration"] for i in items], P),
+            "silence_phone": pad_batch(
+                [i["silence_phone"] for i in items], P
+            ),
+            "wav": pad_batch([i["wav"] for i in items],
+                             T * cfg.audio.hop_length),
+            "phones_lengths": np.asarray([len(i["phones"]) for i in items]),
+        }
+        if cfg.speaker_type != "none":
+            batch["speaker"] = np.stack([i["speaker"] for i in items])
+        return batch
+
     T = bucketer.frame_bucket(max(i["mel"].shape[0] for i in items))
 
     batch: Dict[str, np.ndarray] = {

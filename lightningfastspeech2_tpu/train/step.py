@@ -35,6 +35,7 @@ class TrainState(NamedTuple):
 def create_train_state(
     model: FastSpeech2, cfg: Config, rng: jax.Array, batch: Dict[str, jnp.ndarray]
 ) -> Tuple[TrainState, optax.GradientTransformation]:
+    batch = _maybe_on_device_features(model, cfg, batch)
     init = jax.jit(lambda rngs, b: model.init(rngs, b, deterministic=True))
     variables = init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1),
@@ -49,7 +50,18 @@ def create_train_state(
     )
 
 
+def _maybe_on_device_features(model, cfg, batch):
+    if cfg.train.on_device_features and "wav" in batch and "mel" not in batch:
+        from lightningfastspeech2_tpu.train.on_device_features import (
+            augment_batch_with_features,
+        )
+
+        batch = augment_batch_with_features(batch, cfg, model.stats)
+    return batch
+
+
 def _loss_fn(params, model, cfg, batch, rng, tf, frozen):
+    batch = _maybe_on_device_features(model, cfg, batch)
     out = model.apply(
         {"params": params},
         batch,
@@ -79,12 +91,12 @@ def make_train_step(
 
     def step(state: TrainState, batch, rng, tf: bool = True,
              frozen: Tuple[str, ...] = ()):
-        accum = batch["mel"].ndim == 4  # leading microbatch axis present
+        accum = batch["phones"].ndim == 3  # leading microbatch axis
 
         grad_fn = jax.grad(_loss_fn, has_aux=True)
 
         if accum:
-            n_micro = batch["mel"].shape[0]
+            n_micro = batch["phones"].shape[0]
 
             def micro(carry, xs):
                 grads_acc, losses_acc = carry

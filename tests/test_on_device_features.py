@@ -103,3 +103,40 @@ def test_augment_batch_inside_jit(setup):
     assert mel.shape == (2, T, 80)
     assert np.isfinite(np.asarray(mel)).all()
     assert np.isfinite(np.asarray(pitch)).all()
+
+
+def test_raw_mode_training_end_to_end(tmp_path):
+    """Full on-device-features training: raw-wav batches, features
+    extracted inside the jitted step."""
+    from lightningfastspeech2_tpu.data.synthetic import make_corpus
+    from lightningfastspeech2_tpu.train.loop import fit
+    from tests.test_end_to_end import small_train_config
+
+    corpus = make_corpus(tmp_path / "c", n_speakers=1, n_utts=4, seed=21)
+    dcfg = DataConfig(
+        variances=("pitch", "energy"),
+        variance_levels=("frame", "frame"),
+        variance_transforms=("none", "none"),
+        augment_duration=0.0, speaker_type="dvector",
+        stat_entries=4, raw_mode=True,
+        max_phones=32, max_frames=256,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    item = ds[0]
+    assert "mel" not in item and "wav" in item  # raw items are cheap
+
+    cfg = small_train_config()
+    var = C.VarianceConfig(
+        variances=("pitch", "energy"), levels=("frame", "frame"),
+        transforms=("none", "none"), losses=("mse", "mse"), nlayers=(2, 2),
+        kernel_sizes=(3, 3), dropouts=(0.1, 0.1), loss_weights=(0.1, 0.1),
+        filter_size=48, nbins=32,
+    )
+    cfg = C.replace(cfg, **{
+        "model.variance": var,
+        "train.on_device_features": True,
+    })
+    result = fit(cfg, ds, max_steps=3)
+    last = result.history[-1]
+    for key in ("pitch", "energy", "mel", "duration", "total"):
+        assert key in last and np.isfinite(last[key]), (key, last)
