@@ -101,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--soft_dtw_chunk_size", type=int, default=256)
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "32"])
+    p.add_argument("--on_device_features", type=str2bool, default=False,
+                   help="extract mel/pitch/energy/SNR on the TPU inside the "
+                        "train step (raw-wav host pipeline)")
     p.add_argument("--seed", type=int, default=42)
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
@@ -179,6 +182,7 @@ def args_to_config(args):
         batch_size=args.batch_size, grad_accum=args.accumulate_grad_batches,
         grad_clip=args.gradient_clip_val, max_steps=args.max_steps,
         bf16=args.precision == "bf16", seed=args.seed,
+        on_device_features=args.on_device_features,
         mel_loss=args.mel_loss, soft_dtw_gamma=args.soft_dtw_gamma,
         soft_dtw_chunk_size=args.soft_dtw_chunk_size,
         log_every=args.log_every, eval_every=args.eval_every,
@@ -214,6 +218,7 @@ def main(argv=None):
         speaker_type=args.speaker_type,
         min_samples_per_speaker=args.train_min_samples_per_speaker,
         stat_entries=args.stat_entries,
+        raw_mode=args.on_device_features,
         seed=args.seed,
         max_phones=cfg.model.max_phones,
         max_frames=cfg.model.max_frames,
