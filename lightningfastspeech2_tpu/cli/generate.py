@@ -41,11 +41,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hifigan_checkpoint", type=str, default=None,
                    help="torch HiFi-GAN generator checkpoint to convert")
     p.add_argument("--no_vocoder", action="store_true")
+    p.add_argument("--use_fastdiff", type=str2bool, default=False,
+                   help="vocode with the checkpoint's jointly-trained "
+                        "FastDiff (reference generate.py:37-38,163-171)")
+    p.add_argument("--fastdiff_n", type=int, default=None,
+                   help="reverse-diffusion steps (default: checkpoint cfg)")
+    # post-vocoder waveform augmentations (reference reflects
+    # audiomentations' params as flags, generate.py:48-104; the native
+    # transforms live in synthesis/augment.py)
+    p.add_argument("--augment_pitch_shift", type=str2bool, default=False)
+    p.add_argument("--augment_pitch_shift_min_semitones", type=float,
+                   default=-1.0)
+    p.add_argument("--augment_pitch_shift_max_semitones", type=float,
+                   default=1.0)
+    p.add_argument("--augment_gaussian_snr", type=str2bool, default=False)
+    p.add_argument("--augment_gaussian_snr_min_snr_db", type=float,
+                   default=15.0)
+    p.add_argument("--augment_gaussian_snr_max_snr_db", type=float,
+                   default=30.0)
+    p.add_argument("--augment_room", type=str2bool, default=False)
     return p
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
 
 
 def load_generator(args):
     import jax
+
+    from lightningfastspeech2_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if args.hub and not args.checkpoint_dir:
         from huggingface_hub import snapshot_download
@@ -81,10 +114,36 @@ def load_generator(args):
     from lightningfastspeech2_tpu.core import config as C
 
     mcfg = C.replace(cfg.model, vocab_size=max(len(vocab), 2))
-    model = FastSpeech2(mcfg, stats=stats_tree, prior_stats=prior_stats)
+    acoustic_params = tree["params"]
+    if mcfg.fastdiff_vocoder and "acoustic" in acoustic_params:
+        # joint checkpoint: {"acoustic": ..., "fastdiff": ...}
+        fastdiff_params = acoustic_params.get("fastdiff")
+        acoustic_params = acoustic_params["acoustic"]
+        model = FastSpeech2(mcfg, stats=stats_tree, prior_stats=prior_stats,
+                            use_fastdiff_head=True)
+    else:
+        fastdiff_params = None
+        model = FastSpeech2(mcfg, stats=stats_tree, prior_stats=prior_stats)
 
     synthesiser = None
-    if not args.no_vocoder:
+    if args.use_fastdiff:
+        assert fastdiff_params is not None, (
+            "--use_fastdiff needs a checkpoint trained with "
+            "--fastdiff_vocoder true"
+        )
+        from lightningfastspeech2_tpu.models.joint import make_fastdiff_config
+        from lightningfastspeech2_tpu.vocoder.fastdiff import FastDiffVocoder
+
+        fd = FastDiffVocoder(make_fastdiff_config(mcfg),
+                             params={"params": fastdiff_params})
+        n_steps = args.fastdiff_n or mcfg.fastdiff_inference_steps
+
+        def synthesiser(mel, _fd=fd, _n=n_steps):
+            # N-step reverse sampler (reference generate.py:163-171);
+            # x32768 matches the HiFi-GAN Synthesiser's int16 contract
+            wav = np.asarray(_fd.inference(np.asarray(mel)[None], N=_n))
+            return wav[0] * 32768.0
+    elif not args.no_vocoder:
         params = None
         if args.hifigan_checkpoint:
             import torch
@@ -107,7 +166,8 @@ def load_generator(args):
             speaker_gmms = pickle.load(fh)
 
     gen = SpeechGenerator(
-        C.replace(cfg, model=mcfg), model, tree["params"], vocab, EnglishG2P(args.lexicon_path),
+        C.replace(cfg, model=mcfg), model, acoustic_params, vocab,
+        EnglishG2P(args.lexicon_path),
         synthesiser=synthesiser,
         speaker2dvector=sidecar.get("speaker2dvector"),
         speaker2id=sidecar.get("speaker2id"),
@@ -120,6 +180,23 @@ def load_generator(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     gen, cfg, sidecar = load_generator(args)
+    if args.augment_pitch_shift or args.augment_gaussian_snr or args.augment_room:
+        from lightningfastspeech2_tpu.synthesis.augment import from_args
+
+        augment = from_args(
+            pitch_shift=args.augment_pitch_shift,
+            gaussian_snr=args.augment_gaussian_snr,
+            room=args.augment_room,
+            seed=args.seed,
+            pitch_shift_min_semitones=args.augment_pitch_shift_min_semitones,
+            pitch_shift_max_semitones=args.augment_pitch_shift_max_semitones,
+            gaussian_snr_min_snr_db=args.augment_gaussian_snr_min_snr_db,
+            gaussian_snr_max_snr_db=args.augment_gaussian_snr_max_snr_db,
+            # explicit opt-in via flag -> always applied
+            pitch_shift_p=1.0, gaussian_snr_p=1.0, room_p=1.0,
+        )
+        # applied post-vocoder (reference generator.py:197-201)
+        gen.postprocess = augment
     out_dir = Path(args.output_path)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -150,7 +227,16 @@ def main(argv=None):
             max_phones=cfg.model.max_phones,
             max_frames=cfg.model.max_frames,
         )
-        ds = TTSDataset(root=Path(args.dataset), cfg=dcfg, compute_stats=False)
+        # the sidecar's d-vector table / stats keep speaker identity and
+        # normalization consistent with training (otherwise unknown
+        # speakers fall back to hash-placeholder vectors)
+        s2d = sidecar.get("speaker2dvector")
+        ds = TTSDataset(
+            root=Path(args.dataset), cfg=dcfg, compute_stats=False,
+            stats=sidecar.get("stats"),
+            speaker2dvector={k: np.asarray(v) for k, v in s2d.items()}
+            if s2d else None,
+        )
         budget_s = args.hours * 3600
         total_s = 0.0
         for idx in range(len(ds)):

@@ -81,9 +81,35 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{side}_conformer", type=str2bool, default=True)
         p.add_argument(f"--{side}_depthwise_conv", type=str2bool, default=True)
         p.add_argument(f"--{side}_conv_filter_size", type=int, default=1024)
+    # FastDiff (reference litfass/train.py:73-91, scripts/train.sh:44-47)
+    p.add_argument("--fastdiff_vocoder", type=str2bool, default=False,
+                   help="joint acoustic+FastDiff vocoder training")
+    p.add_argument("--fastdiff_variances", type=str2bool, default=False,
+                   help="diffusion variance adaptor")
+    p.add_argument("--fastdiff_speakers", type=str2bool, default=False,
+                   help="diffusion d-vector speaker generator")
+    p.add_argument("--fastdiff_schedule", nargs="+", type=float,
+                   default=[0.0, 1.0],
+                   help="per-epoch P(condition vocoder on predicted mel)")
+    p.add_argument("--fastdiff_schedule_end", type=int, default=20)
+    p.add_argument("--fastdiff_n", type=int, default=4,
+                   help="reverse-diffusion steps at inference")
+    p.add_argument("--fastdiff_inner_channels", type=int, default=32)
+    p.add_argument("--fastdiff_upsample_ratios", nargs="+", type=int,
+                   default=[8, 8, 4])
+    p.add_argument("--fastdiff_lvc_layers", type=int, default=4)
+    p.add_argument("--fastdiff_kpnet_hidden", type=int, default=64)
+    p.add_argument("--fastdiff_diffusion_T", type=int, default=1000)
     # speakers & priors
     p.add_argument("--speaker_type", type=str, default="dvector",
                    choices=["none", "id", "dvector", "dvector_utterance"])
+    p.add_argument("--compute_dvectors", type=str2bool, default=True,
+                   help="embed every utterance with the d-vector LSTM at "
+                        "dataset init (reference datasets.py:652-690); "
+                        "False falls back to deterministic placeholders")
+    p.add_argument("--dvector_checkpoint", type=str, default=None,
+                   help="torch d-vector state-dict (yistLin topology) to "
+                        "convert for the embedding pipeline")
     p.add_argument("--priors", nargs="*", default=[])
     p.add_argument("--priors_gmm", type=str2bool, default=False)
     p.add_argument("--priors_gmm_max_components", type=int, default=5)
@@ -105,9 +131,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="extract mel/pitch/energy/SNR on the TPU inside the "
                         "train step (raw-wav host pipeline)")
     p.add_argument("--seed", type=int, default=42)
+    # host input pipeline (reference DataLoader num_workers=cpu_count,
+    # fastspeech2.py:42,114); default: leave 2 CPUs for the main process
+    import os as _os
+
+    p.add_argument("--num_workers", type=int,
+                   default=max((_os.cpu_count() or 2) - 2, 2))
+    p.add_argument("--prefetch", type=int, default=4)
+    p.add_argument("--swa", type=str2bool, default=False,
+                   help="stochastic weight averaging over the last 25% of "
+                        "steps (reference train.py:282-283)")
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="shard optimizer moments over the data mesh axis")
     # io
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--cache_path", type=str, default=None,
@@ -122,6 +160,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--early_stopping_patience", type=int, default=10)
     p.add_argument("--wandb_mode", type=str, default="offline")
     p.add_argument("--wandb_project", type=str, default=None)
+    p.add_argument("--log_eval_media", type=str2bool, default=True,
+                   help="write pred/true spectrogram pngs under "
+                        "log_dir/eval_examples every eval (host 0; "
+                        "reference logs these to wandb, "
+                        "fastspeech2.py:809-957)")
     return p
 
 
@@ -176,6 +219,17 @@ def args_to_config(args):
         priors=tuple(args.priors),
         speaker_embedding_every_layer=args.speaker_embedding_every_layer,
         prior_embedding_every_layer=args.prior_embedding_every_layer,
+        fastdiff_vocoder=args.fastdiff_vocoder,
+        fastdiff_variances=args.fastdiff_variances,
+        fastdiff_speakers=args.fastdiff_speakers,
+        fastdiff_schedule=tuple(args.fastdiff_schedule),
+        fastdiff_schedule_end=args.fastdiff_schedule_end,
+        fastdiff_inference_steps=args.fastdiff_n,
+        fastdiff_inner_channels=args.fastdiff_inner_channels,
+        fastdiff_upsample_ratios=tuple(args.fastdiff_upsample_ratios),
+        fastdiff_lvc_layers=args.fastdiff_lvc_layers,
+        fastdiff_kpnet_hidden=args.fastdiff_kpnet_hidden,
+        fastdiff_diffusion_T=args.fastdiff_diffusion_T,
     )
     train = C.TrainConfig(
         lr=args.lr, warmup_steps=args.warmup_steps,
@@ -189,6 +243,8 @@ def args_to_config(args):
         checkpoint_every=args.checkpoint_every,
         variance_early_stopping=args.variance_early_stopping,
         variance_early_stopping_patience=args.variance_early_stopping_patience,
+        num_workers=args.num_workers, prefetch=args.prefetch,
+        zero1=args.zero1, swa=args.swa,
     )
     mesh = C.MeshConfig(data=args.mesh_data, model=args.mesh_model)
     return C.Config(model=model, train=train, mesh=mesh)
@@ -199,6 +255,10 @@ def main(argv=None):
     cfg = args_to_config(args)
 
     import jax
+
+    from lightningfastspeech2_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from lightningfastspeech2_tpu.core.checkpoint import Checkpointer, warm_start
     from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset
@@ -219,6 +279,8 @@ def main(argv=None):
         min_samples_per_speaker=args.train_min_samples_per_speaker,
         stat_entries=args.stat_entries,
         raw_mode=args.on_device_features,
+        # joint vocoder training conditions on mel AND noises the waveform
+        load_wav=args.fastdiff_vocoder,
         seed=args.seed,
         max_phones=cfg.model.max_phones,
         max_frames=cfg.model.max_frames,
@@ -230,6 +292,28 @@ def main(argv=None):
     )
     print(f"{len(dataset)} utterances, {len(dataset.speakers)} speakers, "
           f"{len(dataset.vocab)} phones", flush=True)
+    if args.compute_dvectors and "dvector" in args.speaker_type and len(dataset):
+        # real per-utterance d-vectors + speaker means (reference embeds at
+        # dataset init, datasets.py:652-690) — replaces hash placeholders
+        from lightningfastspeech2_tpu.data.dvector import DVectorPipeline
+
+        dv_params = None
+        if args.dvector_checkpoint:
+            import torch
+
+            from lightningfastspeech2_tpu.data.dvector import (
+                convert_torch_state_dict,
+            )
+
+            sd = torch.load(args.dvector_checkpoint, map_location="cpu")
+            sd = {k: v.numpy() for k, v in sd.items()}
+            dv_params = convert_torch_state_dict(sd)
+        pipeline = DVectorPipeline(
+            params=dv_params, sampling_rate=cfg.model.audio.sampling_rate
+        )
+        dataset.create_dvectors(pipeline)
+        print(f"d-vectors: embedded {len(dataset)} utterances, "
+              f"{len(dataset.speaker2dvector)} speaker vectors", flush=True)
     if len(dataset) == 0:
         raise SystemExit(
             f"no usable utterances under {args.train_target_path} (need "
@@ -321,7 +405,12 @@ def main(argv=None):
         best = {"loss": float("inf"), "stale": 0}
 
         def eval_fn(step_i, state):
-            metrics = evaluate(cfg, valid, eval_model, state.params)
+            metrics = evaluate(
+                cfg, valid, eval_model, state.params,
+                media_dir=(Path(args.log_dir) / "eval_examples"
+                           if args.log_eval_media else None),
+                step=step_i + 1,
+            )
             logger.log(step_i, metrics)
             # best-checkpoint on eval mel loss (ModelCheckpoint analog,
             # reference train.py:265-273)
@@ -335,43 +424,77 @@ def main(argv=None):
                 if args.early_stopping and best["stale"] >= args.early_stopping_patience:
                     print("early stopping: eval/mel_loss stalled")
                     raise StopTraining
+            # host copies: the live state is donated on the next train
+            # step, which would invalidate device-buffer snapshots
+            ptree = state.params.get("acoustic", state.params)
             snapshots = {
-                var: state.params.get("variance_adaptor", {}).get(
-                    f"encoder_{var}"
-                )
+                var: jax.device_get(sub)
                 for var in cfg.model.variance.variances
+                if (sub := ptree.get("variance_adaptor", {}).get(
+                    f"encoder_{var}")) is not None
             }
-            return early_stopping.update(metrics, snapshots)
+            frozen = early_stopping.update(metrics, snapshots)
+            restores = early_stopping.pop_restores()
+            if restores:
+                print(f"variance early stopping: freezing {sorted(restores)} "
+                      "at their best weights")
+            return frozen, restores
+
+    # loss terms get the reference's train/{k}_loss names; rate/optimizer
+    # diagnostics keep their own (no grad_norm_loss mislabels)
+    non_loss = ("grad_norm", "steps_per_s", "lr")
+
+    def train_log_fn(s, m):
+        logger.log(s, {
+            (f"train/{k}" if k in non_loss else f"train/{k}_loss"): v
+            for k, v in m.items()
+        })
 
     result = fit(
         cfg, dataset, max_steps=args.max_steps, mesh=mesh,
-        log_fn=lambda s, m: logger.log(s, {f"train/{k}_loss": v
-                                           for k, v in m.items()}),
+        log_fn=train_log_fn,
         checkpoint_fn=checkpoint_fn,
         eval_fn=eval_fn,
         state=resume_state,
     )
     ckpt.save(args.max_steps, result.state, cfg, sidecar)
 
+    if result.swa_params is not None:
+        # SWA weights as a separate final checkpoint (Lightning's callback
+        # swaps them in at the end; here both live under checkpoint_dir)
+        from lightningfastspeech2_tpu.train.step import TrainState
+
+        swa_state = TrainState(result.swa_params, result.state.opt_state,
+                               result.state.step)
+        swa_ckpt = Checkpointer(str(Path(args.checkpoint_dir) / "swa"))
+        swa_ckpt.save(args.max_steps, swa_state, cfg, sidecar)
+        print("saved SWA-averaged weights to checkpoint_dir/swa")
+
     if valid is not None and len(valid):
         model = build_model(cfg, dataset)
         metrics = evaluate(cfg, valid, model, result.state.params)
         logger.log(args.max_steps, metrics)
 
-    if args.priors_gmm and args.priors:
-        from lightningfastspeech2_tpu.utils.log_gmm import fit_speaker_gmms
-
+    if args.priors:
+        # ALWAYS persist per-speaker priors when priors are modeled — the
+        # default "sample" strategy at synthesis needs them (reference
+        # checkpoints speaker2priors unconditionally, fastspeech2.py:622-634)
         priors = dataset.create_priors()
-        gmms = fit_speaker_gmms(priors, tuple(args.priors),
-                                max_components=args.priors_gmm_max_components)
-        import pickle
-
-        with open(Path(args.checkpoint_dir) / "prior_gmms.pkl", "wb") as fh:
-            pickle.dump(gmms, fh)
-        # also persist the raw per-speaker priors for the "sample" strategy
         ckpt.save(args.max_steps, result.state, cfg,
                   {**sidecar, "speaker2priors": priors})
-        print(f"fitted prior GMMs for {len(gmms)} speakers")
+        print(f"persisted priors for {len(priors)} speakers")
+        if args.priors_gmm:
+            from lightningfastspeech2_tpu.utils.log_gmm import fit_speaker_gmms
+
+            gmms = fit_speaker_gmms(
+                priors, tuple(args.priors),
+                max_components=args.priors_gmm_max_components,
+            )
+            import pickle
+
+            with open(Path(args.checkpoint_dir) / "prior_gmms.pkl", "wb") as fh:
+                pickle.dump(gmms, fh)
+            print(f"fitted prior GMMs for {len(gmms)} speakers")
     logger.close()
     return result
 

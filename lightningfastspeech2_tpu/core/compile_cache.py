@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache setup.
+
+Every entry point (train/generate CLIs, bench, driver entry) funnels
+through here: first TPU compiles through the remote backend take minutes,
+cached reruns take seconds. This JAX build does NOT honor the
+``JAX_COMPILATION_CACHE_DIR`` environment variable by itself (the config
+default stays ``None``), so the cache must be enabled programmatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = "/tmp/jax_cache"
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> None:
+    """Idempotent; safe to call before or after backend initialization."""
+    import jax
+
+    path = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or _DEFAULT_DIR)
+    try:
+        if jax.config.jax_compilation_cache_dir != path:
+            jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # non-fatal: cache is an optimization only

@@ -147,6 +147,13 @@ class ModelConfig:
     fastdiff_schedule: Tuple[float, ...] = (0.0, 1.0)  # P(use predicted mel)
     fastdiff_schedule_end: int = 20    # epochs over which the schedule runs
     fastdiff_inference_steps: int = 4
+    # FastDiff vocoder architecture (reference FastDiff.py:217-255 argparse
+    # defaults; upsample ratios must multiply to audio.hop_length)
+    fastdiff_inner_channels: int = 32
+    fastdiff_upsample_ratios: Tuple[int, ...] = (8, 8, 4)
+    fastdiff_lvc_layers: int = 4
+    fastdiff_kpnet_hidden: int = 64
+    fastdiff_diffusion_T: int = 1000
 
     vocab_size: int = 256  # phone vocabulary incl. [PAD]=0
     # static-shape contract: max phones per utterance and max mel frames
@@ -162,6 +169,8 @@ class ModelConfig:
         object.__setattr__(self, "priors", tuple(self.priors))
         object.__setattr__(self, "fastdiff_schedule",
                            tuple(self.fastdiff_schedule))
+        object.__setattr__(self, "fastdiff_upsample_ratios",
+                           tuple(self.fastdiff_upsample_ratios))
 
     @property
     def hidden(self) -> int:
@@ -196,6 +205,16 @@ class TrainConfig:
     checkpoint_every: int = 1000
     variance_early_stopping: str = "none"  # "mae" | "js" | "none"
     variance_early_stopping_patience: int = 4
+    # host input pipeline (reference DataLoader num_workers=cpu_count,
+    # fastspeech2.py:42,114): 0 = synchronous in-loop item computation,
+    # N > 0 = N worker processes with `prefetch` batches in flight
+    num_workers: int = 0
+    prefetch: int = 4
+    # ZeRO-1: shard optimizer moments over the data axis (train/step.py)
+    zero1: bool = False
+    # stochastic weight averaging (reference train.py:282-283)
+    swa: bool = False
+    swa_start_pct: float = 0.75  # Lightning SWA default: last 25% of steps
 
 
 @dataclass(frozen=True)

@@ -458,6 +458,33 @@ class TTSDataset:
             speaker2dvector=self.speaker2dvector, compute_stats=False,
         )
 
+    def create_dvectors(self, pipeline=None, cache: bool = True):
+        """Embed every utterance with the d-vector net and build the
+        speaker table (reference ``_create_dvectors``,
+        datasets.py:652-690: 1 s per utterance -> ``<utt>.npy``, speaker
+        vector = mean over utterances -> ``speaker.npy``).
+
+        ``pipeline``: a ``data.dvector.DVectorPipeline`` (pass converted
+        pretrained weights for real speaker discrimination; the default
+        random-init LSTM still yields deterministic utterance-dependent
+        embeddings). Returns the speaker table.
+        """
+        from lightningfastspeech2_tpu.data.dvector import DVectorPipeline
+
+        if pipeline is None:
+            pipeline = DVectorPipeline(
+                sampling_rate=self.cfg.audio.sampling_rate
+            )
+        speaker_means = pipeline.process_entries(self.entries, cache=cache)
+        self.speaker2dvector.update(speaker_means)
+        if cache:
+            # per-speaker mean beside the audio (datasets.py:686-688)
+            for e in self.entries:
+                spk_path = Path(e.audio_path).parent / "speaker.npy"
+                if e.speaker in speaker_means and not spk_path.exists():
+                    np.save(spk_path, speaker_means[e.speaker])
+        return self.speaker2dvector
+
     def create_priors(self) -> Dict[str, Dict[str, np.ndarray]]:
         """Per-speaker arrays of utterance priors
         (reference ``_create_priors``, datasets.py:476-544)."""

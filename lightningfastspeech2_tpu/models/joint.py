@@ -40,7 +40,8 @@ class JointFastSpeech2FastDiff(nn.Module):
         self,
         batch: Dict[str, jnp.ndarray],
         inference: bool = False,
-        schedule_p: float = 1.0,  # P(condition on predicted mel) this step
+        tf: bool = True,
+        schedule_p=1.0,  # P(condition on predicted mel); traced scalar ok
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         cfg = self.cfg
@@ -48,7 +49,7 @@ class JointFastSpeech2FastDiff(nn.Module):
             cfg, self.stats, self.prior_stats, use_fastdiff_head=True,
             dtype=self.dtype, name="acoustic",
         )
-        result = acoustic(batch, inference=inference,
+        result = acoustic(batch, inference=inference, tf=tf,
                           deterministic=deterministic)
 
         if inference or "wav" not in batch:
@@ -95,6 +96,28 @@ class JointFastSpeech2FastDiff(nn.Module):
         result["fastdiff"] = (eps, z)
         result["wav_mask"] = wav_mask
         return result
+
+
+def make_fastdiff_config(cfg: ModelConfig) -> FastDiffConfig:
+    """FastDiffConfig from the model config's vocoder knobs (reference
+    ``FastDiff.py:217-255`` argparse defaults). The upsample ratios must
+    multiply to the audio hop length so one mel frame conditions exactly
+    ``hop`` waveform samples."""
+    fd = FastDiffConfig(
+        inner_channels=cfg.fastdiff_inner_channels,
+        cond_channels=cfg.audio.n_mels,
+        upsample_ratios=cfg.fastdiff_upsample_ratios,
+        lvc_layers_each_block=cfg.fastdiff_lvc_layers,
+        kpnet_hidden_channels=cfg.fastdiff_kpnet_hidden,
+        T=cfg.fastdiff_diffusion_T,
+    )
+    if fd.hop_length != cfg.audio.hop_length:
+        raise ValueError(
+            f"fastdiff_upsample_ratios {cfg.fastdiff_upsample_ratios} "
+            f"multiply to {fd.hop_length}, need audio hop "
+            f"{cfg.audio.hop_length}"
+        )
+    return fd
 
 
 def schedule_probability(cfg: ModelConfig, epoch: int) -> float:

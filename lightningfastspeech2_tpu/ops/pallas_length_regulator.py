@@ -29,11 +29,14 @@ T_TILE = 256
 
 def _expand_kernel(ends_ref, x_ref, out_ref):
     """One (b, t_tile) block: out[t] = x[searchsorted(ends, t, 'right')]."""
+    b = pl.program_id(0)
     tt = pl.program_id(1)
     P = x_ref.shape[1]
     T_tile = out_ref.shape[1]
 
-    ends = ends_ref[0, :]  # (P,) int32
+    # ends arrives unblocked (Mosaic requires sublane blocks of 8 or the
+    # full array; B is small so the whole (B, P) table rides along)
+    ends = ends_ref[b, :]  # (P,) int32
     t0 = tt * T_tile
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T_tile, P), 0) + t0
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (T_tile, P), 1)
@@ -48,18 +51,26 @@ def _expand_kernel(ends_ref, x_ref, out_ref):
     valid = (t_idx[:, :1] < total).astype(x_ref.dtype)  # (T_tile, 1)
     onehot = onehot * valid
 
+    # f32 accumulate always (Mosaic requires a 32-bit acc); HIGHEST for f32
+    # inputs — the MXU's default bf16 passes would round the copied rows,
+    # and this is a selection matmul whose output must equal the input
+    # bitwise. bf16 inputs are exact in a single pass (value x 1.0).
+    precision = (jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     out_ref[0, :, :] = jnp.dot(
-        onehot, x_ref[0, :, :], preferred_element_type=out_ref.dtype
-    )
+        onehot, x_ref[0, :, :], preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(out_ref.dtype)
 
 
 def _grad_kernel(ends_ref, g_ref, dx_ref):
     """Backward: dx[p] = sum_t onehot[t,p] * g[t] accumulated over tiles."""
+    b = pl.program_id(0)
     tt = pl.program_id(1)
     P = dx_ref.shape[1]
     T_tile = g_ref.shape[1]
 
-    ends = ends_ref[0, :]
+    ends = ends_ref[b, :]
     t0 = tt * T_tile
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (T_tile, P), 0) + t0
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (T_tile, P), 1)
@@ -70,8 +81,11 @@ def _grad_kernel(ends_ref, g_ref, dx_ref):
     onehot = (p_idx == idx).astype(g_ref.dtype)
     onehot = onehot * (t_idx[:, :1] < total).astype(g_ref.dtype)
 
+    precision = (jax.lax.Precision.HIGHEST if g_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     contrib = jnp.dot(onehot.T, g_ref[0, :, :],
-                      preferred_element_type=dx_ref.dtype)
+                      preferred_element_type=jnp.float32,
+                      precision=precision).astype(dx_ref.dtype)
 
     @pl.when(tt == 0)
     def _():
@@ -89,7 +103,7 @@ def _forward(x, ends, max_frames, t_tile, interpret):
         _expand_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, P), lambda b, t: (b, 0)),
+            pl.BlockSpec((B, P), lambda b, t: (0, 0)),
             pl.BlockSpec((1, P, H), lambda b, t: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t_tile, H), lambda b, t: (b, t, 0)),
@@ -105,7 +119,7 @@ def _backward(g, ends, P, t_tile, interpret):
         _grad_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, P), lambda b, t: (b, 0)),
+            pl.BlockSpec((B, P), lambda b, t: (0, 0)),
             pl.BlockSpec((1, t_tile, H), lambda b, t: (b, t, 0)),
         ],
         out_specs=pl.BlockSpec((1, P, H), lambda b, t: (b, 0, 0)),

@@ -139,7 +139,12 @@ class SpeechGenerator:
     def generate_samples(self, batch: Dict[str, np.ndarray]) -> List[np.ndarray]:
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         result = self._infer(self.params, jbatch, jax.random.PRNGKey(0))
-        mels = np.asarray(result["mel"], np.float32)
+        mel_out = result["mel"]
+        if "fastdiff_var" in result:
+            # FastDiff-conditioned checkpoints vocode mel + the x0.1
+            # residual head (reference fastspeech2.py:733-736)
+            mel_out = mel_out + result["fastdiff_var"]
+        mels = np.asarray(mel_out, np.float32)
         mask = np.asarray(result["frame_mask"])
         audios = []
         for i in range(len(mels)):

@@ -76,8 +76,18 @@ def eval_metrics(
         pred = np.concatenate([np.ravel(a) for a in results[pk]])
         true = np.concatenate([np.ravel(a) for a in results[tk]])
         out[f"eval/jensenshannon_{var}"] = kde_jensen_shannon(pred, true)
-        n = min(len(pred), len(true))
-        out[f"eval/mae_{var}"] = masked_mae(pred[:n], true[:n])
+        # MAE prefers the teacher-forced predictions, which share the
+        # target's frame grid (element-aligned, reference
+        # fastspeech2.py:1024-1056); the inference arrays are only
+        # distribution-comparable
+        if results.get(f"{var}_pred_tf"):
+            pred_m = np.concatenate(
+                [np.ravel(a) for a in results[f"{var}_pred_tf"]]
+            )
+        else:
+            pred_m = pred
+        n = min(len(pred_m), len(true))
+        out[f"eval/mae_{var}"] = masked_mae(pred_m[:n], true[:n])
     if results.get("mel_pred"):
         js, dtw1, dtw3, mae = [], [], [], []
         for p, t in zip(results["mel_pred"], results["mel_true"]):
@@ -111,10 +121,16 @@ class VarianceEarlyStopping:
         self.best_params: Dict[str, object] = {}
         self.stale: Dict[str, int] = {v: 0 for v in variances}
         self.frozen: List[str] = []
+        # best-params snapshots of variances frozen since the last
+        # pop_restores() call — the trainer writes these back into the live
+        # params (reference reloads {key}_encoder_best.pt before freezing,
+        # fastspeech2.py:1097-1115)
+        self.pending_restore: Dict[str, object] = {}
 
     def update(self, metrics: Dict[str, float], params_per_variance) -> List[str]:
         """params_per_variance: {var: encoder params snapshot}. Returns the
-        (possibly grown) frozen list."""
+        (possibly grown) frozen list; newly frozen variances also land in
+        ``pending_restore`` with their best snapshot."""
         if self.mode == "none":
             return self.frozen
         key = "mae" if self.mode == "mae" else "jensenshannon"
@@ -132,4 +148,10 @@ class VarianceEarlyStopping:
                 self.stale[var] += 1
                 if self.stale[var] >= self.patience:
                     self.frozen.append(var)
+                    if self.best_params.get(var) is not None:
+                        self.pending_restore[var] = self.best_params[var]
         return self.frozen
+
+    def pop_restores(self) -> Dict[str, object]:
+        out, self.pending_restore = self.pending_restore, {}
+        return out

@@ -60,14 +60,36 @@ def _maybe_on_device_features(model, cfg, batch):
     return batch
 
 
-def _loss_fn(params, model, cfg, batch, rng, tf, frozen):
+def _zero_frozen_leaf(frozen: Tuple[str, ...]):
+    """tree_map_with_path fn zeroing leaves under frozen components
+    (variance encoders / the duration predictor)."""
+
+    def fn(path, g):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        for comp in frozen:
+            if f"encoder_{comp}" in keys or (
+                comp == "duration" and "duration_predictor" in keys
+            ):
+                return jnp.zeros_like(g)
+        return g
+
+    return fn
+
+
+def _loss_fn(params, model, cfg, batch, rng, tf, frozen, schedule_p=None):
     batch = _maybe_on_device_features(model, cfg, batch)
+    kwargs = {}
+    if schedule_p is not None:
+        # joint FastSpeech2+FastDiff model: epoch-indexed P(condition the
+        # vocoder on predicted mel), traced so the schedule never retraces
+        kwargs["schedule_p"] = schedule_p
     out = model.apply(
         {"params": params},
         batch,
         deterministic=False,
         tf=tf,
         rngs={"dropout": rng, "sdp": jax.random.fold_in(rng, 7)},
+        **kwargs,
     )
     losses = compute_losses(out, batch, cfg, frozen)
     return losses["total"], losses
@@ -90,7 +112,7 @@ def make_train_step(
     """
 
     def step(state: TrainState, batch, rng, tf: bool = True,
-             frozen: Tuple[str, ...] = ()):
+             frozen: Tuple[str, ...] = (), schedule_p=None):
         accum = batch["phones"].ndim == 3  # leading microbatch axis
 
         grad_fn = jax.grad(_loss_fn, has_aux=True)
@@ -102,7 +124,7 @@ def make_train_step(
                 grads_acc, losses_acc = carry
                 mb, r = xs
                 grads, losses = grad_fn(
-                    state.params, model, cfg, mb, r, tf, frozen
+                    state.params, model, cfg, mb, r, tf, frozen, schedule_p
                 )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 losses_acc = jax.tree_util.tree_map(jnp.add, losses_acc, losses)
@@ -113,7 +135,8 @@ def make_train_step(
             )
             mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
             rngs = jax.random.split(rng, n_micro)
-            (grads0, losses0) = grad_fn(state.params, model, cfg, mb0, rngs[0], tf, frozen)
+            (grads0, losses0) = grad_fn(state.params, model, cfg, mb0, rngs[0],
+                                        tf, frozen, schedule_p)
             rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
             (grads, losses), _ = jax.lax.scan(
                 micro, (grads0, losses0), (rest, rngs[1:])
@@ -121,23 +144,23 @@ def make_train_step(
             grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
             losses = jax.tree_util.tree_map(lambda l: l / n_micro, losses)
         else:
-            grads, losses = grad_fn(state.params, model, cfg, batch, rng, tf, frozen)
+            grads, losses = grad_fn(state.params, model, cfg, batch, rng, tf,
+                                    frozen, schedule_p)
 
         if frozen:
             # freeze component params entirely (reference sets
-            # requires_grad=False, model.py:240-247): zero their grads
-            def zero_frozen(path, g):
-                keys = "/".join(str(getattr(p, "key", p)) for p in path)
-                for comp in frozen:
-                    if f"encoder_{comp}" in keys or (
-                        comp == "duration" and "duration_predictor" in keys
-                    ):
-                        return jnp.zeros_like(g)
-                return g
-
-            grads = jax.tree_util.tree_map_with_path(zero_frozen, grads)
+            # requires_grad=False, model.py:240-247): zero their grads AND
+            # their post-optimizer updates — adamw otherwise still applies
+            # weight decay (and residual momentum) to zero-grad params
+            grads = jax.tree_util.tree_map_with_path(
+                _zero_frozen_leaf(frozen), grads
+            )
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        if frozen:
+            updates = jax.tree_util.tree_map_with_path(
+                _zero_frozen_leaf(frozen), updates
+            )
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -147,16 +170,22 @@ def make_train_step(
     if mesh is not None:
         replicated = NamedSharding(mesh, P())
         if zero1:
-            # ZeRO-1: optimizer state stays sharded over the data axis;
-            # out_shardings resolved lazily from the state's own structure
-            def jitted(state, batch, rng, tf=True, frozen=()):
-                shardings = zero1_shardings(mesh, state)
-                fn = jax.jit(
-                    step, static_argnames=("tf", "frozen"),
-                    donate_argnums=donate_args,
-                    out_shardings=(shardings, replicated),
-                )
-                return fn(state, batch, rng, tf=tf, frozen=frozen)
+            # ZeRO-1: optimizer state stays sharded over the data axis.
+            # The jitted fn is built ONCE, on first call (out_shardings
+            # need the state's tree structure) — jit's own cache then
+            # handles the tf/frozen variants without retracing per step.
+            cache: Dict[str, Any] = {}
+
+            def jitted(state, batch, rng, tf=True, frozen=(), schedule_p=None):
+                if "fn" not in cache:
+                    shardings = zero1_shardings(mesh, state)
+                    cache["fn"] = jax.jit(
+                        step, static_argnames=("tf", "frozen"),
+                        donate_argnums=donate_args,
+                        out_shardings=(shardings, replicated),
+                    )
+                return cache["fn"](state, batch, rng, tf=tf, frozen=frozen,
+                                   schedule_p=schedule_p)
 
             return jitted
         # state and metrics replicated; the batch arrives data-sharded via
@@ -206,12 +235,18 @@ def shard_state_zero1(mesh: Mesh, state: TrainState) -> Tuple[TrainState, Any]:
 
 def make_eval_step(model: FastSpeech2, cfg: Config):
     """Teacher-forced loss pass + free-running forward (reference
-    validation_step, ``fastspeech2.py:799-827``)."""
+    validation_step, ``fastspeech2.py:799-827``).
+
+    Returns ``(losses, out, out_inf, feat_batch)`` — ``feat_batch`` is the
+    batch after on-device feature extraction (identical to the input batch
+    when ``on_device_features`` is off), so callers can read ``mel`` /
+    ``variances_*`` targets in raw-wav mode too."""
 
     @functools.partial(jax.jit, static_argnames=())
     def step(params, batch, rng=None):
         rng = jax.random.PRNGKey(0) if rng is None else rng
         rngs = {"sdp": rng}
+        batch = _maybe_on_device_features(model, cfg, batch)
         out = model.apply({"params": params}, batch, deterministic=True,
                           rngs=rngs)
         losses = compute_losses(out, batch, cfg)
@@ -219,7 +254,7 @@ def make_eval_step(model: FastSpeech2, cfg: Config):
             {"params": params}, batch, inference=True, deterministic=True,
             rngs=rngs,
         )
-        return losses, out, out_inf
+        return losses, out, out_inf, batch
 
     return step
 

@@ -25,7 +25,11 @@ class SWA:
         if step < self.start_step or (step - self.start_step) % self.every:
             return
         if self.avg is None:
-            self.avg = jax.tree_util.tree_map(jnp.asarray, params)
+            # copy, don't alias: the live params are donated to the next
+            # train step, which would invalidate shared buffers
+            self.avg = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params
+            )
             self.n = 1
             return
         self.n += 1

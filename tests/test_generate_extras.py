@@ -1,0 +1,79 @@
+"""Generate-CLI extras: waveform augmentation flags (reference
+generate.py:48-104) and default speaker2priors persistence (reference
+checkpoints them unconditionally, fastspeech2.py:622-634)."""
+
+import numpy as np
+import pytest
+
+from lightningfastspeech2_tpu.data.synthetic import make_corpus
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    from lightningfastspeech2_tpu.cli import train as train_cli
+
+    corpus = make_corpus(tmp_path_factory.mktemp("corpus"), n_speakers=1,
+                         n_utts=3, seed=21)
+    base = tmp_path_factory.mktemp("run")
+    ckpt_dir = base / "ckpts"
+    train_cli.main([
+        "--train_target_path", str(corpus),
+        "--checkpoint_dir", str(ckpt_dir),
+        "--log_dir", str(base / "logs"),
+        "--max_steps", "2", "--batch_size", "2",
+        "--variances", "pitch", "energy",
+        "--variance_levels", "phone", "frame",
+        "--variance_transforms", "none", "none",
+        "--variance_nlayers", "2", "2",
+        "--encoder_hidden", "32", "--decoder_hidden", "32",
+        "--encoder_layers", "2", "--decoder_layers", "2",
+        "--encoder_kernel_sizes", "3", "5",
+        "--decoder_kernel_sizes", "5", "3",
+        "--encoder_conv_filter_size", "64",
+        "--decoder_conv_filter_size", "64",
+        "--variance_filter_size", "32", "--duration_filter_size", "32",
+        "--stat_entries", "2", "--augment_duration", "0",
+        "--precision", "32", "--checkpoint_every", "100",
+        "--log_every", "1", "--num_workers", "0",
+        "--priors", "pitch", "duration",   # NO --priors_gmm
+    ])
+    return ckpt_dir, base
+
+
+def test_priors_persisted_without_gmm_flag(trained):
+    from lightningfastspeech2_tpu.core.checkpoint import Checkpointer
+
+    ckpt_dir, _ = trained
+    _, _, sidecar = Checkpointer(str(ckpt_dir)).restore()
+    priors = sidecar.get("speaker2priors")
+    assert priors, "speaker2priors missing from the final checkpoint sidecar"
+    spk = next(iter(priors))
+    assert set(priors[spk]) == {"pitch", "duration"}
+    assert len(np.asarray(priors[spk]["pitch"])) == 3  # one per utterance
+
+
+def test_generate_with_augmentations(trained, tmp_path):
+    from lightningfastspeech2_tpu.cli import generate as gen_cli
+    from lightningfastspeech2_tpu.data import wav as wav_io
+
+    ckpt_dir, _ = trained
+    plain, augmented = tmp_path / "plain", tmp_path / "aug"
+    common = [
+        "--checkpoint_dir", str(ckpt_dir),
+        "--sentence", "hello world.",
+        "--no_vocoder", "--seed", "5",
+        "--prior_strategy", "sample",
+    ]
+    gen_cli.main(common + ["--output_path", str(plain)])
+    gen_cli.main(common + [
+        "--output_path", str(augmented),
+        "--augment_gaussian_snr", "true",
+        "--augment_gaussian_snr_min_snr_db", "10",
+        "--augment_gaussian_snr_max_snr_db", "10",
+    ])
+    w0, _ = wav_io.read(plain / "sentence.wav")
+    w1, _ = wav_io.read(augmented / "sentence.wav")
+    assert len(w0) == len(w1)
+    assert not np.array_equal(w0, w1), "augmentation flag had no effect"
+    # additive noise at 10 dB SNR: bounded, nonzero perturbation
+    assert np.std(w1 - w0) > 0

@@ -140,3 +140,38 @@ def test_raw_mode_training_end_to_end(tmp_path):
     last = result.history[-1]
     for key in ("pitch", "energy", "mel", "duration", "total"):
         assert key in last and np.isfinite(last[key]), (key, last)
+
+
+def test_raw_mode_evaluate(tmp_path):
+    """ADVICE r1 (high): evaluate() must extract on-device features for
+    raw-mode batches instead of KeyError'ing on 'mel'."""
+    from lightningfastspeech2_tpu.train.loop import build_model, evaluate, fit
+    from tests.test_end_to_end import small_train_config
+
+    corpus = make_corpus(tmp_path / "c", n_speakers=1, n_utts=4, seed=23)
+    dcfg = DataConfig(
+        variances=("pitch", "energy"),
+        variance_levels=("frame", "frame"),
+        variance_transforms=("none", "none"),
+        augment_duration=0.0, speaker_type="dvector",
+        stat_entries=4, raw_mode=True,
+        max_phones=32, max_frames=256,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = small_train_config()
+    var = C.VarianceConfig(
+        variances=("pitch", "energy"), levels=("frame", "frame"),
+        transforms=("none", "none"), losses=("mse", "mse"), nlayers=(2, 2),
+        kernel_sizes=(3, 3), dropouts=(0.1, 0.1), loss_weights=(0.1, 0.1),
+        filter_size=48, nbins=32,
+    )
+    cfg = C.replace(cfg, **{
+        "model.variance": var,
+        "train.on_device_features": True,
+    })
+    result = fit(cfg, ds, max_steps=2)
+    model = build_model(cfg, ds)
+    metrics = evaluate(cfg, ds, model, result.state.params, max_batches=1)
+    for key in ("eval/mel_loss", "eval/mae_pitch", "eval/mae_mel",
+                "eval/jensenshannon_energy"):
+        assert key in metrics, sorted(metrics)

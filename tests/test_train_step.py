@@ -122,3 +122,75 @@ def test_mesh_construction_helpers():
     assert mesh.axis_names == ("data", "model")
     with pytest.raises(ValueError):
         mesh_lib.make_mesh(MeshConfig(data=3, model=2))
+
+
+def test_frozen_components_receive_exactly_zero_updates():
+    """Freezing must stop ALL updates — including adamw weight decay and
+    residual momentum (reference requires_grad=False semantics,
+    model.py:240-247)."""
+    cfg, model, batch, state, optimizer = _setup()
+    step = make_train_step(model, cfg, optimizer, donate=False)
+    rng = jax.random.PRNGKey(3)
+    # warm steps WITHOUT freezing -> non-zero optimizer moments
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.fold_in(rng, i))
+    before = jax.device_get(state.params["variance_adaptor"]["encoder_pitch"])
+    state, _ = step(state, batch, jax.random.fold_in(rng, 9),
+                    frozen=("pitch",))
+    after = jax.device_get(state.params["variance_adaptor"]["encoder_pitch"])
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # unfrozen components keep moving
+    enc_before = jax.tree_util.tree_leaves(
+        jax.device_get(state.params["encoder"]))
+    state, _ = step(state, batch, jax.random.fold_in(rng, 10),
+                    frozen=("pitch",))
+    enc_after = jax.tree_util.tree_leaves(
+        jax.device_get(state.params["encoder"]))
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(enc_before, enc_after)
+    )
+
+
+def test_fit_restores_best_params_when_freezing():
+    """fit() writes eval_fn-returned best snapshots back into the state
+    before freezing (reference fastspeech2.py:1097-1115)."""
+    from lightningfastspeech2_tpu.train.loop import fit
+    from lightningfastspeech2_tpu.data.synthetic import make_corpus
+    from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset
+    from tests.test_end_to_end import small_train_config
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = make_corpus(Path(tmp) / "c", n_speakers=1, n_utts=4, seed=5)
+        dcfg = DataConfig(
+            variances=("pitch", "energy"), variance_levels=("phone", "frame"),
+            variance_transforms=("none", "none"), augment_duration=0.0,
+            speaker_type="dvector", stat_entries=4,
+            max_phones=32, max_frames=256,
+        )
+        ds = TTSDataset(root=corpus, cfg=dcfg)
+        cfg = small_train_config()
+        cfg = C.replace(cfg, **{"train.eval_every": 2})
+
+        snapshot = {}
+
+        def eval_fn(step_i, state):
+            # freeze pitch at a recognizable snapshot: all-zeros tree
+            snap = jax.tree_util.tree_map(
+                lambda x: np.zeros_like(np.asarray(x)),
+                jax.device_get(state.params["variance_adaptor"]["encoder_pitch"]),
+            )
+            snapshot["tree"] = snap
+            return ("pitch",), {"pitch": snap}
+
+        result = fit(cfg, ds, max_steps=4, eval_fn=eval_fn)
+        final = jax.device_get(
+            result.state.params["variance_adaptor"]["encoder_pitch"]
+        )
+        # restored to the snapshot AND untouched by subsequent frozen steps
+        for leaf in jax.tree_util.tree_leaves(final):
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.zeros_like(np.asarray(leaf)))
