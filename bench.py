@@ -1,16 +1,22 @@
 #!/usr/bin/env python
 """Headline benchmark: audio-seconds of mel synthesized per second per chip.
 
-The reference publishes no throughput numbers (BASELINE.md) — this bench
-*establishes* the baseline the driver records each round. Workload: the
-flagship multi-speaker LightSpeech acoustic model in bf16, teacher-forced
-durations filling the full frame bucket (synthesis compute at 100%
-utilization), batch 8 x 2048 frames (~23.8 s audio per item at hop 256 /
-22.05 kHz).
+The reference publishes no throughput numbers (BASELINE.md) — round 1
+*established* the baseline (22,527.75 audio-s/s/chip, BENCH_r01.json) and
+``vs_baseline`` is measured against it from round 2 on.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the first recorded value in BENCH_r1
-(18.08.2026: none existed -> 1.0 by definition; see BASELINE.md).
+Workloads (all flagship multi-speaker LightSpeech, bf16, batch 8 x 2048
+frames = 190.5 audio-seconds per step at hop 256 / 22.05 kHz):
+  1. headline: teacher-forced forward filling the full frame bucket (100%
+     frame utilization) — mel-generation compute ceiling,
+  2. inference-mode forward: predicted durations -> rounding + rescue ->
+     length-regulate (the real synthesis acoustic path),
+  3. HiFi-GAN V1 mel->wav vocoder throughput,
+  4. training step (fwd+bwd+AdamW) time.
+
+Prints ONE JSON line; the extra workloads ride in the same object under
+"extra" so the driver's single-line parser still sees metric/value/unit/
+vs_baseline.
 """
 
 import json
@@ -18,19 +24,36 @@ import os
 import sys
 import time
 
-BASELINE_AUDIO_S_PER_S = None  # set once round-1 numbers are recorded
+BASELINE_AUDIO_S_PER_S = 22527.75  # round-1 record (BENCH_r01.json)
+
+
+def _chain_run(fn, state0, iters):
+    """Timed loop with a data-dependency carry and ONE final host read —
+    the remote-TPU tunnel acks dispatches before execution completes, so
+    naive block_until_ready undercounts."""
+    carry = state0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = fn(carry)
+    _ = float(carry[0] if hasattr(carry, "shape") and carry.shape else carry)
+    return time.perf_counter() - t0
+
+
+def _rate(fn, state0, iters, audio_seconds):
+    lat = min(_chain_run(fn, state0, 1), _chain_run(fn, state0, 1))
+    total = _chain_run(fn, state0, iters)
+    dt = max(total - lat, 1e-9) / max(iters - 1, 1)
+    return audio_seconds / dt, dt
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from lightningfastspeech2_tpu.core.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     import jax.numpy as jnp
     import numpy as np
@@ -44,6 +67,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 8))
     P = int(os.environ.get("BENCH_PHONES", 256))
     T = int(os.environ.get("BENCH_FRAMES", 2048))
+    iters = int(os.environ.get("BENCH_ITERS", 50))
 
     cfg = C.lightspeech_76m()
     mcfg = C.replace(cfg.model, max_phones=P, max_frames=T)
@@ -68,50 +92,116 @@ def main():
         batch,
     )
 
+    hop, sr = mcfg.audio.hop_length, mcfg.audio.sampling_rate
+    audio_seconds = B * T * hop / sr
+    extra = {}
+
+    # ---- 1. headline: teacher-forced mel synthesis ----------------------
     @jax.jit
     def synthesize(params, batch, carry):
-        # carry creates a data dependency between successive steps so the
-        # measurement reflects true sequential execution (the remote-TPU
-        # tunnel used here acks dispatches before execution completes, so
-        # naive block_until_ready undercounts); the epsilon-scaled carry
-        # cannot be DCE'd but perturbs nothing at fp precision
+        # epsilon-scaled carry creates a data dependency between steps; it
+        # cannot be folded away (carry varies per step) and perturbs
+        # nothing at fp precision
         b = dict(batch)
         b["speaker"] = batch["speaker"] + carry * 1e-30
         out = model.apply(params, b, deterministic=True)
-        # duration predictions too, so the duration tower is not DCE'd
         return out["mel"], out["duration_prediction"]
 
-    # warmup / compile
-    carry = jnp.zeros(())
-    mel, dpred = synthesize(params, batch, carry)
-    float(jnp.sum(dpred.astype(jnp.float32)))  # full round trip
+    def tf_step(carry):
+        mel, dpred = synthesize(params, batch, carry)
+        return dpred[0, 0].astype(jnp.float32)
 
-    def run(iters):
-        carry = jnp.zeros(())
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            mel, dpred = synthesize(params, batch, carry)
-            carry = dpred[0, 0].astype(jnp.float32)
-        _ = float(carry)  # single host read at the end
-        return time.perf_counter() - t0
+    mel, dpred = synthesize(params, batch, jnp.zeros(()))  # compile
+    float(jnp.sum(dpred.astype(jnp.float32)))
+    headline, dt_tf = _rate(tf_step, jnp.zeros(()), iters, audio_seconds)
 
-    # one round-trip latency estimate from a zero-iteration chain
-    lat = min(run(1), run(1))
-    iters = int(os.environ.get("BENCH_ITERS", 50))
-    total = run(iters)
-    dt = max(total - lat, 1e-9) / max(iters - 1, 1)
+    # ---- 2. inference-mode forward (predicted durations) ----------------
+    @jax.jit
+    def infer(params, batch, carry):
+        b = dict(batch)
+        b["speaker"] = batch["speaker"] + carry * 1e-30
+        out = model.apply(params, b, inference=True, deterministic=True,
+                          rngs={"sdp": jax.random.PRNGKey(0)})
+        return out["mel"], out["duration_rounded"], out["frame_mask"]
 
-    hop, sr = mcfg.audio.hop_length, mcfg.audio.sampling_rate
-    audio_seconds = B * T * hop / sr
-    value = audio_seconds / dt
-    vs = 1.0 if not BASELINE_AUDIO_S_PER_S else value / BASELINE_AUDIO_S_PER_S
+    def inf_step(carry):
+        mel, dr, fm = infer(params, batch, carry)
+        return dr[0, 0].astype(jnp.float32)
+
+    mel_i, dr, fm = infer(params, batch, jnp.zeros(()))
+    # honest audio accounting: only frames the model actually produced
+    produced_s = float(jnp.sum(fm)) * hop / sr
+    float(jnp.sum(dr.astype(jnp.float32)))
+    inf_rate, dt_inf = _rate(inf_step, jnp.zeros(()), iters, produced_s)
+    # produced-audio rate is utilization-dependent (untrained duration
+    # predictions fill ~1 frame/phone); the ceiling assumes a full bucket
+    extra["inference_mode_audio_s_per_s"] = round(inf_rate, 2)
+    extra["inference_mode_step_ms"] = round(dt_inf * 1e3, 3)
+    extra["inference_mode_full_bucket_audio_s_per_s"] = round(
+        audio_seconds / dt_inf, 2
+    )
+
+    # ---- 3. HiFi-GAN V1 mel->wav throughput ------------------------------
+    from lightningfastspeech2_tpu.vocoder import hifigan as hg
+
+    voc = hg.Synthesiser(hg.HifiGanConfig(), rng=jax.random.PRNGKey(3))
+    Tv = int(os.environ.get("BENCH_VOC_FRAMES", 1024))
+    Bv = int(os.environ.get("BENCH_VOC_BATCH", 4))
+    mel_voc = jnp.asarray(
+        np.random.default_rng(0).standard_normal((Bv, Tv, 80)), jnp.float32
+    )
+
+    @jax.jit
+    def vocode(params, mel, carry):
+        wav = voc.model.apply(params, mel + carry * 1e-30)
+        return wav
+
+    def voc_step(carry):
+        wav = vocode(voc.params, mel_voc, carry)
+        return wav[0, 0].astype(jnp.float32) * 1e-30
+
+    _ = vocode(voc.params, mel_voc, jnp.zeros(()))  # compile
+    voc_audio_s = Bv * Tv * hop / sr
+    voc_iters = max(iters // 2, 10)
+    voc_rate, dt_voc = _rate(voc_step, jnp.zeros(()), voc_iters, voc_audio_s)
+    extra["hifigan_vocoder_audio_s_per_s"] = round(voc_rate, 2)
+    extra["hifigan_vocoder_step_ms"] = round(dt_voc * 1e3, 3)
+
+    # ---- 4. training step time ------------------------------------------
+    from lightningfastspeech2_tpu.train.step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    tbatch = dict(batch)
+    tcfg = C.replace(cfg, **{"model.max_phones": P, "model.max_frames": T})
+    state, optimizer = create_train_state(
+        model, tcfg, jax.random.PRNGKey(4), tbatch
+    )
+    step = make_train_step(model, tcfg, optimizer, donate=False)
+
+    def train_step(carry):
+        nonlocal state
+        b = dict(tbatch)
+        b["speaker"] = tbatch["speaker"] + carry * 1e-30
+        state, metrics = step(state, b, jax.random.PRNGKey(5))
+        return metrics["total"].astype(jnp.float32) * 1e-30
+
+    _ = train_step(jnp.zeros(()))  # compile
+    train_rate, dt_train = _rate(train_step, jnp.zeros(()),
+                                 max(iters // 2, 10), audio_seconds)
+    extra["train_step_ms"] = round(dt_train * 1e3, 3)
+    extra["train_audio_s_per_s"] = round(train_rate, 2)
+
+    vs = headline / BASELINE_AUDIO_S_PER_S if BASELINE_AUDIO_S_PER_S else 1.0
     print(
         json.dumps(
             {
                 "metric": "audio_seconds_synthesized_per_s_per_chip",
-                "value": round(value, 2),
+                "value": round(headline, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(vs, 3),
+                "extra": extra,
             }
         )
     )
