@@ -50,10 +50,12 @@ def main():
     import jax
 
     from lightningfastspeech2_tpu.core.compile_cache import (
+        enable_fast_prng,
         enable_persistent_cache,
     )
 
     enable_persistent_cache()
+    enable_fast_prng()
 
     import jax.numpy as jnp
     import numpy as np
@@ -114,6 +116,29 @@ def main():
     mel, dpred = synthesize(params, batch, jnp.zeros(()))  # compile
     float(jnp.sum(dpred.astype(jnp.float32)))
     headline, dt_tf = _rate(tf_step, jnp.zeros(()), iters, audio_seconds)
+
+    # device-side scan variant: the whole chained loop is ONE program, so
+    # per-dispatch tunnel/host overhead (~1-7 ms here) is excluded — this
+    # is the true on-chip step time
+    @jax.jit
+    def tf_scan(params, batch):
+        def body(c, _):
+            b = dict(batch)
+            b["speaker"] = batch["speaker"] + c * 1e-30
+            out = model.apply(params, b, deterministic=True)
+            # the carry must consume BOTH outputs — a dpred-only carry
+            # lets XLA dead-code-eliminate the whole decoder + mel head
+            return (out["mel"][0, 0, 0].astype(jnp.float32)
+                    + out["duration_prediction"][0, 0].astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return c
+
+    float(tf_scan(params, batch))  # compile
+    t0 = time.perf_counter()
+    float(tf_scan(params, batch))
+    dt_scan = (time.perf_counter() - t0) / iters
+    extra["device_fwd_ms"] = round(dt_scan * 1e3, 3)
+    extra["device_audio_s_per_s"] = round(audio_seconds / dt_scan, 2)
 
     # ---- 2. inference-mode forward (predicted durations) ----------------
     @jax.jit
@@ -192,6 +217,35 @@ def main():
                                  max(iters // 2, 10), audio_seconds)
     extra["train_step_ms"] = round(dt_train * 1e3, 3)
     extra["train_audio_s_per_s"] = round(train_rate, 2)
+
+    # device-side train scan (true on-chip fwd+bwd+AdamW time)
+    import optax
+
+    from lightningfastspeech2_tpu.train.step import _loss_fn
+
+    n_scan = max(iters // 2, 10)
+
+    @jax.jit
+    def train_scan(state, batch):
+        def body(carry, i):
+            st = carry
+            grads, losses = jax.grad(_loss_fn, has_aux=True)(
+                st.params, model, tcfg, batch,
+                jax.random.fold_in(jax.random.PRNGKey(6), i), True, ()
+            )
+            updates, opt_state = optimizer.update(
+                grads, st.opt_state, st.params
+            )
+            params = optax.apply_updates(st.params, updates)
+            return type(st)(params, opt_state, st.step + 1), losses["total"]
+        st, tot = jax.lax.scan(body, state, jnp.arange(n_scan))
+        return tot[-1]
+
+    float(train_scan(state, tbatch))  # compile
+    t0 = time.perf_counter()
+    float(train_scan(state, tbatch))
+    dt_tscan = (time.perf_counter() - t0) / n_scan
+    extra["device_train_step_ms"] = round(dt_tscan * 1e3, 3)
 
     vs = headline / BASELINE_AUDIO_S_PER_S if BASELINE_AUDIO_S_PER_S else 1.0
     print(

@@ -31,8 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--prior_strategy", type=str, default="sample",
                    choices=["sample", "gmm"])
+    p.add_argument("--sample_dvector", action="store_true",
+                   help="draw a novel d-vector from the speaker's GMM "
+                        "(needs dvector_gmms.pkl from train --dvector_gmm)")
     p.add_argument("--prior_values", nargs="*", type=float, default=[])
     p.add_argument("--lexicon_path", type=str, default=None)
+    p.add_argument("--g2p_model", type=str, default=None,
+                   help="NeuralG2P .npz (scripts/train_g2p.py) used for "
+                        "OOV words, like the reference's g2p_en fallback "
+                        "(g2p.py:4)")
     # dataset re-synthesis mode (generate.py:134-252)
     p.add_argument("--dataset", type=str, default=None,
                    help="aligned corpus root for re-synthesis mode")
@@ -165,14 +172,29 @@ def load_generator(args):
         with open(gmm_path, "rb") as fh:
             speaker_gmms = pickle.load(fh)
 
+    dvector_gmms = None
+    dv_gmm_path = Path(args.checkpoint_dir) / "dvector_gmms.pkl"
+    if dv_gmm_path.exists():
+        import pickle
+
+        with open(dv_gmm_path, "rb") as fh:
+            dvector_gmms = pickle.load(fh)
+
+    neural_g2p = None
+    if args.g2p_model:
+        from lightningfastspeech2_tpu.synthesis.neural_g2p import NeuralG2P
+
+        neural_g2p = NeuralG2P.load(args.g2p_model)
+
     gen = SpeechGenerator(
         C.replace(cfg, model=mcfg), model, acoustic_params, vocab,
-        EnglishG2P(args.lexicon_path),
+        EnglishG2P(args.lexicon_path, neural=neural_g2p),
         synthesiser=synthesiser,
         speaker2dvector=sidecar.get("speaker2dvector"),
         speaker2id=sidecar.get("speaker2id"),
         speaker2priors=sidecar.get("speaker2priors"),
         speaker_gmms=speaker_gmms,
+        dvector_gmms=dvector_gmms,
     )
     return gen, cfg, sidecar
 
@@ -208,6 +230,7 @@ def main(argv=None):
         wav = gen.generate_from_text(
             args.sentence, speaker=args.speaker, seed=args.seed,
             prior_strategy=args.prior_strategy, prior_values=prior_values,
+            sample_dvector=args.sample_dvector,
         )
         out = out_dir / "sentence.wav"
         gen.save_audio(out, wav)

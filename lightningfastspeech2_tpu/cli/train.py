@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="embed every utterance with the d-vector LSTM at "
                         "dataset init (reference datasets.py:652-690); "
                         "False falls back to deterministic placeholders")
+    p.add_argument("--dvector_gmm", type=str2bool, default=False,
+                   help="fit per-speaker GMMs over utterance d-vectors "
+                        "for novel-voice sampling (reference "
+                        "fastspeech2.py:121,492-499)")
     p.add_argument("--dvector_checkpoint", type=str, default=None,
                    help="torch d-vector state-dict (yistLin topology) to "
                         "convert for the embedding pipeline")
@@ -314,6 +318,16 @@ def main(argv=None):
         dataset.create_dvectors(pipeline)
         print(f"d-vectors: embedded {len(dataset)} utterances, "
               f"{len(dataset.speaker2dvector)} speaker vectors", flush=True)
+        if args.dvector_gmm:
+            import pickle
+
+            from lightningfastspeech2_tpu.utils.log_gmm import fit_dvector_gmms
+
+            dvector_gmms = fit_dvector_gmms(dataset.get_speaker_dvectors())
+            Path(args.checkpoint_dir).mkdir(parents=True, exist_ok=True)
+            with open(Path(args.checkpoint_dir) / "dvector_gmms.pkl", "wb") as fh:
+                pickle.dump(dvector_gmms, fh)
+            print(f"fitted d-vector GMMs for {len(dvector_gmms)} speakers")
     if len(dataset) == 0:
         raise SystemExit(
             f"no usable utterances under {args.train_target_path} (need "

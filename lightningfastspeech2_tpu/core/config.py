@@ -215,6 +215,9 @@ class TrainConfig:
     # stochastic weight averaging (reference train.py:282-283)
     swa: bool = False
     swa_start_pct: float = 0.75  # Lightning SWA default: last 25% of steps
+    # hardware PRNG for dropout/noise draws (core/compile_cache.py
+    # enable_fast_prng): threefry costs ~12 ms/step at the flagship shapes
+    fast_prng: bool = True
 
 
 @dataclass(frozen=True)

@@ -485,6 +485,22 @@ class TTSDataset:
                     np.save(spk_path, speaker_means[e.speaker])
         return self.speaker2dvector
 
+    def get_speaker_dvectors(self):
+        """Yield ``(speaker, (n_utts, dim) array)`` of per-utterance
+        d-vectors from the ``<utt>.npy`` caches that ``create_dvectors``
+        writes beside the audio (reference ``get_speaker_dvectors``,
+        datasets.py:546-551). Speakers with no cached vectors are skipped.
+        """
+        per_speaker: Dict[str, List[np.ndarray]] = {}
+        for e in self.entries:
+            dvec_path = Path(e.audio_path).with_suffix(".npy")
+            if dvec_path.exists():
+                per_speaker.setdefault(e.speaker, []).append(
+                    np.load(dvec_path)
+                )
+        for spk, vecs in per_speaker.items():
+            yield spk, np.stack(vecs)
+
     def create_priors(self) -> Dict[str, Dict[str, np.ndarray]]:
         """Per-speaker arrays of utterance priors
         (reference ``_create_priors``, datasets.py:476-544)."""

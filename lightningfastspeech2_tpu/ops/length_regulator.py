@@ -22,17 +22,12 @@ Also provides the zero-duration rescue used at inference
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-# Opt-in Pallas kernel (ops/pallas_length_regulator.py). Off by default:
-# the remote axon TPU backend used in this environment aborts on Mosaic
-# kernels ("TPU backend error"); on directly-attached TPUs set
-# LFS2_USE_PALLAS=1.
-_USE_PALLAS = os.environ.get("LFS2_USE_PALLAS", "0") == "1"
+from lightningfastspeech2_tpu.ops.kernel_gate import pallas_enabled
 
 
 def regulate(
@@ -46,12 +41,15 @@ def regulate(
 
     Works for feature vectors (B, P, H) and scalar sequences (B, P).
     """
-    if _USE_PALLAS and x.ndim == 3 and max_frames % 256 == 0:
+    if pallas_enabled() and x.ndim == 3 and max_frames % 256 == 0:
+        from lightningfastspeech2_tpu.ops.kernel_gate import pallas_interpret
         from lightningfastspeech2_tpu.ops.pallas_length_regulator import (
             regulate_pallas,
         )
 
-        return regulate_pallas(x, durations, max_frames)
+        return regulate_pallas(
+            x, durations, max_frames, interpret=pallas_interpret()
+        )
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]

@@ -24,9 +24,12 @@ from lightningfastspeech2_tpu.data.vocab import SILENCE, strip_stress, to_ipa
 
 
 class G2P(ABC):
-    def __init__(self, lexicon_path: Optional[str] = None):
+    def __init__(self, lexicon_path: Optional[str] = None, neural=None):
         self.lexicon_path = lexicon_path
         self.lexicon = self.load_lexicon()
+        # OOV fallback: a synthesis.neural_g2p.NeuralG2P (the analog of the
+        # reference's g2p_en model, g2p.py:4); rule LTS when absent
+        self.neural = neural
 
     @abstractmethod
     def __call__(self, text: str) -> List[str]: ...
@@ -103,7 +106,11 @@ class EnglishG2P(G2P):
             punctuation = ""
             if word[-1] in ".,!?;:":
                 punctuation, word = word[-1], word[:-1]
-            raw = self.lexicon.get(word) or letter_to_sound(word)
+            raw = self.lexicon.get(word)
+            if raw is None and self.neural is not None:
+                raw = self.neural([word])[0]
+            if not raw:
+                raw = letter_to_sound(word)
             for phone in raw:
                 phone = strip_stress(phone)
                 phones.append(to_ipa(phone, "arpabet"))

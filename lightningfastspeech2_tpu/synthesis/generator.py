@@ -39,6 +39,7 @@ class SpeechGenerator:
         speaker2id: Optional[Dict[str, int]] = None,
         speaker2priors: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
         speaker_gmms: Optional[Dict[str, Any]] = None,
+        dvector_gmms: Optional[Dict[str, Any]] = None,
         postprocess: Optional[Callable[[np.ndarray, int], np.ndarray]] = None,
     ):
         self.cfg = cfg
@@ -51,6 +52,7 @@ class SpeechGenerator:
         self.speaker2id = speaker2id or {}
         self.speaker2priors = speaker2priors or {}
         self.speaker_gmms = speaker_gmms or {}
+        self.dvector_gmms = dvector_gmms or {}
         self.postprocess = postprocess
         self.bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
         self._infer = jax.jit(
@@ -70,7 +72,12 @@ class SpeechGenerator:
         ids = [self.vocab.phone2id[p] for p in phones if p in self.vocab.phone2id]
         return np.asarray(ids, dtype=np.int64)
 
-    def _pick_speaker(self, speaker: Optional[str], rng: np.random.Generator):
+    def _pick_speaker(
+        self,
+        speaker: Optional[str],
+        rng: np.random.Generator,
+        sample_dvector: bool = False,
+    ):
         mcfg = self.cfg.model
         if mcfg.speaker_type == "dvector":
             if speaker is None:
@@ -78,6 +85,15 @@ class SpeechGenerator:
                 if self.cfg.model.priors and self.speaker2priors:
                     names = [n for n in names if n in self.speaker2priors] or names
                 speaker = names[int(rng.integers(len(names)))]
+            if sample_dvector and speaker in self.dvector_gmms:
+                # novel voice near this speaker: draw from the per-speaker
+                # d-vector GMM instead of the table mean (reference fits
+                # them at fastspeech2.py:492-499; sampling per
+                # generate.py:216-217)
+                dvec = self.dvector_gmms[speaker].sample(
+                    random_state=int(rng.integers(2 ** 31))
+                )[0][0]
+                return speaker, np.asarray(dvec, np.float32)
             return speaker, np.asarray(self.speaker2dvector[speaker], np.float32)
         if mcfg.speaker_type == "id":
             if speaker is None:
@@ -118,6 +134,7 @@ class SpeechGenerator:
         seed: Optional[int] = None,
         prior_strategy: str = "sample",
         prior_values: Optional[Dict[str, float]] = None,
+        sample_dvector: bool = False,
     ) -> np.ndarray:
         rng = np.random.default_rng(seed)
         ids = self.text_to_ids(text)
@@ -125,7 +142,7 @@ class SpeechGenerator:
         batch: Dict[str, np.ndarray] = {
             "phones": pad_to(ids, P)[None, :],
         }
-        speaker_name, spk = self._pick_speaker(speaker, rng)
+        speaker_name, spk = self._pick_speaker(speaker, rng, sample_dvector)
         if spk is not None:
             batch["speaker"] = np.asarray(spk)[None] if np.ndim(spk) else np.asarray(
                 [spk]

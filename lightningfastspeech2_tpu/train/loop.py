@@ -253,6 +253,11 @@ def fit(
 ) -> TrainResult:
     import jax.numpy as jnp
 
+    if cfg.train.fast_prng:
+        from lightningfastspeech2_tpu.core.compile_cache import enable_fast_prng
+
+        enable_fast_prng()
+
     model = build_model(cfg, dataset)
     bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
     max_steps = max_steps or cfg.train.max_steps

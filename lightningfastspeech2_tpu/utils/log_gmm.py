@@ -94,3 +94,28 @@ def fit_speaker_gmms(
             best.fit(X)
         out[speaker] = best
     return out
+
+
+def fit_dvector_gmms(
+    speaker_dvectors: Iterable,
+    n_components: int = 10,
+    reg_covar: float = 1e-6,
+    seed: int = 0,
+) -> Dict[str, LogGMM]:
+    """Per-speaker GMMs over utterance d-vectors for novel-voice sampling
+    (reference ``_fit_speaker_dvector_gmms``, fastspeech2.py:492-499:
+    ``LogGMM(n_components=10, random_state=0)`` per speaker, no log dims).
+
+    ``speaker_dvectors``: iterable of ``(speaker, (n_utts, dim) array)``
+    — e.g. ``TTSDataset.get_speaker_dvectors()``. Component count is
+    clamped to the utterance count (the reference crashes on speakers with
+    fewer than 10 utterances; documented deviation).
+    """
+    out: Dict[str, LogGMM] = {}
+    for speaker, X in speaker_dvectors:
+        X = np.asarray(X, dtype=np.float64)
+        k = max(1, min(n_components, len(X)))
+        gmm = LogGMM(n_components=k, reg_covar=reg_covar, random_state=seed)
+        gmm.fit(X)
+        out[speaker] = gmm
+    return out

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Train the neural G2P OOV model on a CMUdict-format lexicon.
+
+The reference uses the pretrained g2p_en net for OOV words
+(litfass/synthesis/g2p.py:4); this trains the in-framework equivalent:
+
+    python scripts/train_g2p.py --lexicon cmudict.dict --out g2p.npz
+    python -m lightningfastspeech2_tpu.cli.generate --g2p_model g2p.npz ...
+"""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--lexicon", required=True,
+                   help="CMUdict-format file (WORD  PH1 PH2 ...)")
+    p.add_argument("--out", default="g2p.npz")
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--d", type=int, default=96)
+    p.add_argument("--holdout", type=int, default=500,
+                   help="words held out to report generalization accuracy")
+    args = p.parse_args(argv)
+
+    from lightningfastspeech2_tpu.synthesis.g2p import G2P
+    from lightningfastspeech2_tpu.synthesis.neural_g2p import train_neural_g2p
+
+    class _Lex(G2P):
+        def __call__(self, text):  # lexicon loader only
+            raise NotImplementedError
+
+    lexicon = _Lex(args.lexicon).lexicon
+    print(f"{len(lexicon)} lexicon entries")
+    words = sorted(lexicon)
+    held = words[: args.holdout]
+    train_lex = {w: lexicon[w] for w in words[args.holdout:]}
+
+    model = train_neural_g2p(
+        train_lex, steps=args.steps, batch_size=args.batch_size,
+        lr=args.lr, d=args.d, verbose=True,
+    )
+    model.save(args.out)
+    print(f"saved {args.out}")
+
+    if held:
+        preds = model(held)
+        word_acc = sum(p == lexicon[w] for w, p in zip(held, preds)) / len(held)
+        print(f"held-out word accuracy: {word_acc:.3f} ({len(held)} words)")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,66 @@ def test_create_dvectors_builds_real_table(corpus):
         np.testing.assert_allclose(table[spk], table2[spk], atol=1e-6)
 
 
+def test_fit_dvector_gmms_and_sampling():
+    """Per-speaker GMMs over utterance d-vectors, component count clamped
+    to the sample count (reference fastspeech2.py:492-499)."""
+    from lightningfastspeech2_tpu.utils.log_gmm import fit_dvector_gmms
+
+    rng = np.random.default_rng(0)
+    speakers = {
+        "a": rng.standard_normal((4, 16)) + 2.0,
+        "b": rng.standard_normal((30, 16)) - 2.0,
+    }
+    gmms = fit_dvector_gmms(speakers.items())
+    assert set(gmms) == {"a", "b"}
+    assert gmms["a"].gmm.n_components == 4   # clamped (only 4 utts)
+    assert gmms["b"].gmm.n_components == 10  # reference default
+    for spk, X in speakers.items():
+        sample, _ = gmms[spk].sample(5, random_state=1)
+        assert sample.shape == (5, 16)
+        assert np.isfinite(sample).all()
+        # samples land near the speaker's cloud, not the other one's
+        assert np.abs(np.mean(sample) - np.mean(X)) < 1.5
+
+
+def test_generator_samples_novel_dvector():
+    """SpeechGenerator._pick_speaker draws from the d-vector GMM when
+    asked (generate.py:216-217 analog) and differs from the table mean."""
+    from lightningfastspeech2_tpu.utils.log_gmm import fit_dvector_gmms
+
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((20, 8)) + 1.0
+    gmms = fit_dvector_gmms([("spk", X)])
+
+    gen = object.__new__(
+        __import__(
+            "lightningfastspeech2_tpu.synthesis.generator",
+            fromlist=["SpeechGenerator"],
+        ).SpeechGenerator
+    )
+
+    class _MCfg:
+        speaker_type = "dvector"
+        priors = ()
+
+    class _Cfg:
+        model = _MCfg()
+
+    gen.cfg = _Cfg()
+    gen.speaker2dvector = {"spk": np.mean(X, axis=0)}
+    gen.speaker2priors = {}
+    gen.dvector_gmms = gmms
+    name, vec = gen._pick_speaker("spk", np.random.default_rng(2),
+                                  sample_dvector=True)
+    assert name == "spk"
+    assert vec.shape == (8,)
+    assert not np.allclose(vec, gen.speaker2dvector["spk"])
+    # without sampling: the table mean
+    _, mean_vec = gen._pick_speaker("spk", np.random.default_rng(2))
+    np.testing.assert_allclose(mean_vec, gen.speaker2dvector["spk"],
+                               rtol=1e-6)
+
+
 def test_train_cli_uses_computed_dvectors(corpus, tmp_path):
     from lightningfastspeech2_tpu.cli import train as train_cli
     from lightningfastspeech2_tpu.core.checkpoint import Checkpointer
