@@ -70,7 +70,11 @@ def conv1d(x, w, b, dilation: int = 1, padding: int = 0):
 
 def conv_transpose1d(x, w, b, stride: int, padding: int):
     """torch ConvTranspose1d semantics via input dilation; x (B,T,C),
-    w (k,in,out). out length = (T-1)*stride - 2*padding + k."""
+    w (k,in,out). out length = (T-1)*stride - 2*padding + k.
+
+    Kept as the oracle for ``conv_transpose1d_matmul`` (the production
+    path): XLA lowers lhs_dilation by materializing the zero-stuffed
+    input, wasting (stride-1)/stride of the MXU work."""
     k = w.shape[0]
     out = jax.lax.conv_general_dilated(
         x, w[::-1],  # transpose conv correlates with the flipped kernel
@@ -82,20 +86,141 @@ def conv_transpose1d(x, w, b, stride: int, padding: int):
     return out + b[None, None, :] if b is not None else out
 
 
+def _transpose_conv_phase_weight(w, stride: int, padding: int):
+    """Reshape a transposed-conv kernel (k, cin, cout) into the dense
+    phase-decomposition matrix (n_off * cin, stride * cout).
+
+    out[m*s + q] = sum_o x[m + o] @ W[o-tap]: the tap index into w is
+    j = q + padding - o*s; entries with j outside [0, k) are zero. This
+    turns the whole transposed conv into ONE matmul whose output lanes
+    (s*cout >= 512 for every HiFi-GAN stage) fill the MXU, instead of a
+    conv over a zero-stuffed 8x-length input.
+    """
+    k, cin, cout = w.shape
+    s, p = stride, padding
+    o_min = -((k - 1 - p) // s)
+    o_max = (s - 1 + p) // s
+    offs = np.arange(o_min, o_max + 1)
+    q = np.arange(s)
+    j = q[None, :] + p - offs[:, None] * s          # (n_off, s)
+    valid = (j >= 0) & (j < k)
+    tap = np.where(valid, j, 0)
+    w2 = jnp.take(w, jnp.asarray(tap.reshape(-1)), axis=0)
+    w2 = w2.reshape(len(offs), s, cin, cout)
+    w2 = jnp.where(jnp.asarray(valid)[:, :, None, None], w2, 0)
+    # (n_off, s, cin, cout) -> (n_off, cin, s*cout): a regular conv kernel
+    # of width n_off whose output channels interleave (phase, channel)
+    w2 = w2.transpose(0, 2, 1, 3).reshape(len(offs), cin, s * cout)
+    return w2, int(o_min), int(o_max)
+
+
+def conv_transpose1d_matmul(x, w, b, stride: int, padding: int):
+    """torch-parity ConvTranspose1d as a subpixel conv (see
+    ``_transpose_conv_phase_weight``): a width-``n_off`` dense conv
+    producing ``stride*cout`` channels, reshaped to interleave the phases
+    into time. x (B,T,cin), w (k,cin,cout)."""
+    B, T, cin = x.shape
+    k, _, cout = w.shape
+    s, p = stride, padding
+    L_out = (T - 1) * s + k - 2 * p
+    m_count = -(-L_out // s)
+    w2, o_min, o_max = _transpose_conv_phase_weight(w, s, p)
+    left = max(0, -o_min)
+    right = max(0, m_count - 1 + o_max - (T - 1))
+    y = jax.lax.conv_general_dilated(
+        x, w2, window_strides=(1,), padding=[(left, right)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ).reshape(B, m_count * s, cout)
+    y = y[:, :L_out]
+    return y + b[None, None, :] if b is not None else y
+
+
+# ---------------------------------------------------------------------------
+# folded ("time-into-lanes") dilated convolution
+# ---------------------------------------------------------------------------
+#
+# HiFi-GAN's late stages run dilated convs over very long signals with 32-64
+# channels; a (taps*C, C) matmul uses <=25% of the MXU's 128 output lanes
+# (measured 2.7 TFLOP/s at C=32 on v5e). Folding f consecutive samples into
+# the channel dim gives a (B, L/f, f*C) signal where leaky_relu and residual
+# adds are fold-invariant, and a same-padded dilated conv becomes a stride-1
+# dilation-1 conv with an (nb, f*C, f*Cout) structured-sparse weight:
+#
+#   y[m*f + r] = sum_j x[m*f + r - p + d*j] @ w[j]
+#   => yf[m, r*Cout:(r+1)*Cout] += xf[m + t, qr*C:(qr+1)*C] @ w[j]
+#      where r - p + d*j = t*f + qr
+#
+# The zero blocks waste ~2.5x FLOPs but the f*C>=256 lanes run at ~80
+# TFLOP/s instead of ~3, a large net win (see BASELINE.md round-2 notes).
+
+
+def _folded_conv_weight(w, dilation: int, fold: int):
+    """(k, C, Cout) dilated-conv kernel -> (nb, fold*C, fold*Cout) folded
+    kernel + (left, right) block padding for "same" semantics."""
+    k, C, Cout = w.shape
+    d, f = dilation, fold
+    p = d * (k - 1) // 2
+    left = -(-p // f)
+    right = (f - 1 + p) // f
+    nb = left + right + 1
+    t_idx, qr_idx, r_idx, j_idx = [], [], [], []
+    for r in range(f):
+        for j in range(k):
+            delta = r - p + d * j
+            t_idx.append(delta // f + left)
+            qr_idx.append(delta % f)
+            r_idx.append(r)
+            j_idx.append(j)
+    W2 = jnp.zeros((nb, f, C, f, Cout), w.dtype)
+    W2 = W2.at[
+        jnp.asarray(t_idx), jnp.asarray(qr_idx), :, jnp.asarray(r_idx), :
+    ].set(w[jnp.asarray(j_idx)])
+    return W2.reshape(nb, f * C, f * Cout), left, right
+
+
+def conv1d_folded(xf, w, b, dilation: int, fold: int):
+    """Same-padded dilated conv applied to a folded signal.
+
+    xf (B, M, fold*C) is x (B, M*fold, C) with time folded into channels;
+    w (k, C, Cout), b (Cout,). Returns the folded output (B, M, fold*Cout)
+    == fold(conv1d(x, w, b, dilation, d*(k-1)//2)).
+    """
+    W2, left, right = _folded_conv_weight(w, dilation, fold)
+    y = jax.lax.conv_general_dilated(
+        xf, W2, window_strides=(1,), padding=[(left, right)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if b is not None:
+        y = y + jnp.tile(b, fold)[None, None, :]
+    return y
+
+
 class TorchConv1d(nn.Module):
+    """torch-parity Conv1d. With ``fold`` > 1 the input/output are in the
+    folded (B, M, fold*C) layout (conv1d_folded); requires same-padding,
+    i.e. ``padding == dilation*(kernel_size-1)//2``."""
+
     features: int
     kernel_size: int
     dilation: int = 1
     padding: int = 0
     dtype: jnp.dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
+        cin = x.shape[-1] // self.fold
         w = self.param(
             "kernel", nn.initializers.normal(0.01),
-            (self.kernel_size, x.shape[-1], self.features),
+            (self.kernel_size, cin, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.fold > 1:
+            assert self.padding == self.dilation * (self.kernel_size - 1) // 2
+            return conv1d_folded(
+                x.astype(self.dtype), w.astype(self.dtype),
+                b.astype(self.dtype), self.dilation, self.fold,
+            )
         return conv1d(
             x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype),
             self.dilation, self.padding,
@@ -116,6 +241,10 @@ class TorchConvTranspose1d(nn.Module):
             (self.kernel_size, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        # A/B on v5e: XLA's lhs_dilation lowering beats the subpixel-conv
+        # formulation (conv_transpose1d_matmul) for these shapes — the
+        # s*cout-channel conv + reshape costs more than the zero-stuffed
+        # input saves (71 vs 123 ms full-model, B=4 T=1024 bf16)
         return conv_transpose1d(
             x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype),
             self.stride, self.padding,
@@ -129,6 +258,7 @@ class ResBlock1(nn.Module):
     kernel_size: int
     dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -136,13 +266,13 @@ class ResBlock1(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = TorchConv1d(
                 self.channels, self.kernel_size, d,
-                _get_padding(self.kernel_size, d), self.dtype,
+                _get_padding(self.kernel_size, d), self.dtype, self.fold,
                 name=f"convs1_{i}",
             )(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = TorchConv1d(
                 self.channels, self.kernel_size, 1,
-                _get_padding(self.kernel_size, 1), self.dtype,
+                _get_padding(self.kernel_size, 1), self.dtype, self.fold,
                 name=f"convs2_{i}",
             )(xt)
             x = x + xt
@@ -156,6 +286,7 @@ class ResBlock2(nn.Module):
     kernel_size: int
     dilations: Tuple[int, ...] = (1, 3)
     dtype: jnp.dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -163,7 +294,7 @@ class ResBlock2(nn.Module):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = TorchConv1d(
                 self.channels, self.kernel_size, d,
-                _get_padding(self.kernel_size, d), self.dtype,
+                _get_padding(self.kernel_size, d), self.dtype, self.fold,
                 name=f"convs_{i}",
             )(xt)
             x = x + xt
@@ -176,6 +307,14 @@ class Generator(nn.Module):
 
     cfg: HifiGanConfig = HifiGanConfig()
     dtype: jnp.dtype = jnp.float32
+    # fold sub-128-channel resblock stages into (B, L/f, f*C) so their
+    # convs fill the MXU lanes. Identical params and outputs. Measured
+    # on v5e (device-side scan, B=4 T=1024): standalone resblock groups
+    # speed up 1.5-2.4x, but the FULL model does not (94.5 ms dense vs
+    # 99.5 ms folded f32; 68 vs 70 ms bf16) — XLA's conv lowering spends
+    # the time elsewhere. Kept off; the folded-weight construction is
+    # reused by the fused Pallas resblock kernel.
+    fold_resblocks: bool = False
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -193,14 +332,26 @@ class Generator(nn.Module):
             x = TorchConvTranspose1d(
                 ch, k_up, rate, (k_up - rate) // 2, self.dtype, name=f"ups_{i}"
             )(x)
+            # run sub-128-channel resblock groups in the folded layout so
+            # their convs fill the MXU lanes (see conv1d_folded); the
+            # residual adds and leaky_relus inside are fold-invariant
+            fold = 256 // ch if ch < 128 and self.fold_resblocks else 1
+            if fold > 1 and x.shape[1] % fold == 0:
+                B_, L_, _ = x.shape
+                x = x.reshape(B_, L_ // fold, fold * ch)
+            else:
+                fold = 1
             acc = None
             for j, (k, ds) in enumerate(
                 zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
             ):
-                out = res(ch, k, tuple(ds), self.dtype,
+                out = res(ch, k, tuple(ds), self.dtype, fold,
                           name=f"resblocks_{i * n_kernels + j}")(x)
                 acc = out if acc is None else acc + out
             x = acc / n_kernels
+            if fold > 1:
+                B_, M_, _ = x.shape
+                x = x.reshape(B_, M_ * fold, ch)
         # models.py:161 uses F.leaky_relu's DEFAULT slope (0.01) here,
         # unlike every other activation in the network
         x = nn.leaky_relu(x, 0.01)

@@ -169,3 +169,51 @@ def test_resblock1_residual_structure():
     # zero weights -> identity (residual path)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     np.testing.assert_allclose(np.asarray(rb.apply(zeros, x)), np.asarray(x))
+
+
+def test_conv1d_folded_matches_dense():
+    """conv1d_folded on the folded layout == conv1d on the dense layout."""
+    g = np.random.default_rng(5)
+    B, M, C, Cout, k, d, f = 2, 96, 8, 8, 7, 3, 4
+    x = g.standard_normal((B, M, C)).astype(np.float32)
+    w = g.standard_normal((k, C, Cout)).astype(np.float32) * 0.1
+    b = g.standard_normal((Cout,)).astype(np.float32)
+    pad = hg._get_padding(k, d)
+    dense = hg.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), d, pad)
+    xf = jnp.asarray(x).reshape(B, M // f, f * C)
+    yf = hg.conv1d_folded(xf, jnp.asarray(w), jnp.asarray(b), d, f)
+    np.testing.assert_allclose(
+        np.asarray(yf.reshape(B, M, Cout)), np.asarray(dense), atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("k,s", [(16, 8), (4, 2), (10, 5)])
+def test_conv_transpose1d_matmul_matches_lax(k, s):
+    """subpixel-conv formulation == lhs-dilation formulation == torch."""
+    g = np.random.default_rng(6)
+    B, T, Cin, Cout = 2, 19, 4, 3
+    pad = (k - s) // 2
+    x = jnp.asarray(g.standard_normal((B, T, Cin)).astype(np.float32))
+    w = jnp.asarray(g.standard_normal((k, Cin, Cout)).astype(np.float32))
+    b = jnp.asarray(g.standard_normal((Cout,)).astype(np.float32))
+    ref = hg.conv_transpose1d(x, w, b, s, pad)
+    ours = hg.conv_transpose1d_matmul(x, w, b, s, pad)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+
+def test_generator_fold_invariance():
+    """fold_resblocks=True/False produce identical waveforms for the
+    same params (the folded layout is an internal re-tiling only)."""
+    cfg = small_cfg()
+    mel = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 24, 20)), jnp.float32
+    )
+    folded = hg.Generator(cfg, fold_resblocks=True)
+    dense = hg.Generator(cfg, fold_resblocks=False)
+    params = folded.init(jax.random.PRNGKey(1), mel)
+    np.testing.assert_allclose(
+        np.asarray(folded.apply(params, mel)),
+        np.asarray(dense.apply(params, mel)),
+        atol=1e-5,
+    )
