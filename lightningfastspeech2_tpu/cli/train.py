@@ -424,6 +424,7 @@ def main(argv=None):
                 media_dir=(Path(args.log_dir) / "eval_examples"
                            if args.log_eval_media else None),
                 step=step_i + 1,
+                mesh=mesh,
             )
             logger.log(step_i, metrics)
             # best-checkpoint on eval mel loss (ModelCheckpoint analog,
@@ -486,7 +487,7 @@ def main(argv=None):
 
     if valid is not None and len(valid):
         model = build_model(cfg, dataset)
-        metrics = evaluate(cfg, valid, model, result.state.params)
+        metrics = evaluate(cfg, valid, model, result.state.params, mesh=mesh)
         logger.log(args.max_steps, metrics)
 
     if args.priors:

@@ -149,17 +149,19 @@ def evaluate(
     step: int = 0,
     vocoder=None,
     max_examples: int = 10,
+    mesh=None,
 ) -> Dict[str, float]:
     """Validation pass (reference validation_step + epoch end,
     ``fastspeech2.py:799-827,998-1163``): teacher-forced losses + inference
-    forward, then KDE-JS / MAE / soft-DTW metrics."""
+    forward, then KDE-JS / MAE / soft-DTW metrics. With ``mesh`` the eval
+    forward runs data-sharded over the same mesh as training."""
     import jax.numpy as jnp
 
     from lightningfastspeech2_tpu.train.metrics import eval_metrics
     from lightningfastspeech2_tpu.train.step import make_eval_step
 
     bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
-    eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
     it = batch_iterator(dataset, cfg.train.batch_size, bucketer,
                         shuffle=False, epochs=1)
     accum: Dict[str, List[np.ndarray]] = {}
@@ -171,6 +173,8 @@ def evaluate(
             break
         arrs = {k: jnp.asarray(v) for k, v in batch.items()
                 if isinstance(v, np.ndarray)}
+        if mesh is not None:
+            arrs = shard_batch_for_mesh(mesh, arrs, accum_axis=False)
         losses, out, out_inf, feat_b = eval_step(params, arrs)
         n_batches += 1
         for k, v in losses.items():

@@ -233,16 +233,26 @@ def shard_state_zero1(mesh: Mesh, state: TrainState) -> Tuple[TrainState, Any]:
     return placed, shardings
 
 
-def make_eval_step(model: FastSpeech2, cfg: Config):
+def make_eval_step(model: FastSpeech2, cfg: Config, mesh: Optional[Mesh] = None):
     """Teacher-forced loss pass + free-running forward (reference
     validation_step, ``fastspeech2.py:799-827``).
+
+    With ``mesh`` the eval program runs data-sharded over the mesh like the
+    training step (the reference evaluates under the same DDP strategy as
+    training, sync_dist=True at fastspeech2.py:802-807) — callers shard the
+    batch via ``shard_batch_for_mesh``; outputs come back replicated.
 
     Returns ``(losses, out, out_inf, feat_batch)`` — ``feat_batch`` is the
     batch after on-device feature extraction (identical to the input batch
     when ``on_device_features`` is off), so callers can read ``mel`` /
     ``variances_*`` targets in raw-wav mode too."""
 
-    @functools.partial(jax.jit, static_argnames=())
+    jit_kwargs = {}
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        jit_kwargs["out_shardings"] = replicated
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def step(params, batch, rng=None):
         rng = jax.random.PRNGKey(0) if rng is None else rng
         rngs = {"sdp": rng}

@@ -65,3 +65,42 @@ def test_evaluate_loop_runs(tmp_path):
     ):
         assert key in metrics, sorted(metrics)
         assert np.isfinite(metrics[key]) or np.isnan(metrics[key])
+
+
+def test_evaluate_mesh_matches_unsharded(tmp_path):
+    """Mesh-sharded evaluate() (the multi-chip path the CLI uses when a
+    mesh is configured) is numerically identical to the single-device
+    eval — the reference evaluates under the same DDP strategy as
+    training (sync_dist=True, fastspeech2.py:802-807)."""
+    import jax
+
+    from lightningfastspeech2_tpu.core.config import MeshConfig
+    from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset
+    from lightningfastspeech2_tpu.data.synthetic import make_corpus
+    from lightningfastspeech2_tpu.parallel import mesh as mesh_lib
+    from lightningfastspeech2_tpu.train.loop import build_model, evaluate, fit
+    from tests.test_end_to_end import small_train_config
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    corpus = make_corpus(tmp_path / "c", n_speakers=1, n_utts=4, seed=2)
+    dcfg = DataConfig(
+        variances=("pitch", "energy"),
+        variance_levels=("phone", "frame"),
+        variance_transforms=("none", "none"),
+        augment_duration=0.0, speaker_type="dvector",
+        stat_entries=4, max_phones=32, max_frames=256,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = small_train_config()
+    result = fit(cfg, ds, max_steps=2)
+    model = build_model(cfg, ds)
+    ref = evaluate(cfg, ds, model, result.state.params, max_batches=1)
+    mesh = mesh_lib.make_mesh(MeshConfig(data=4, model=2))
+    sharded = evaluate(cfg, ds, model, result.state.params, max_batches=1,
+                       mesh=mesh)
+    assert set(ref) == set(sharded)
+    for k in ref:
+        a, b = ref[k], sharded[k]
+        if np.isnan(a) and np.isnan(b):
+            continue
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3, err_msg=k)
