@@ -86,6 +86,62 @@ def decompose(signal: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     }
 
 
+def decompose_padded(
+    signal: jnp.ndarray,
+    length: jnp.ndarray,
+    n_scales: int = N_SCALES,
+    tau: float = TAU,
+) -> Dict[str, jnp.ndarray]:
+    """:func:`decompose_np` semantics for a zero-padded signal of static
+    length T whose true length is the traced scalar ``length``.
+
+    This is what makes CWT variances computable inside a jitted train step
+    (reference computes them in CPU DataLoader workers,
+    ``litfass/dataset/datasets.py:641-648`` + ``cwt.py:24-46``): the
+    mean/std are masked to the true region, the per-scale ricker kernel of
+    dynamic length ``points = int(min(10*width, length))`` (scipy.signal.cwt
+    truncation) is materialized inside a static buffer, and the
+    'same'-mode center crop becomes a traced ``dynamic_slice``. Entries at
+    ``t >= length`` are zeroed; values below ``length`` match the host
+    pipeline exactly (same float math, f32 vs f64 accumulation aside).
+    """
+    T = signal.shape[0]
+    dtype = signal.dtype
+    t_idx = jnp.arange(T)
+    valid = t_idx < length
+    sig = jnp.where(valid, signal, 1.0)
+    sig = jnp.where(sig == 0, 1e-7, sig)
+    log_sig = jnp.where(valid, jnp.log(sig), 0.0)
+    n = jnp.maximum(length, 1).astype(dtype)
+    mean = jnp.sum(log_sig) / n
+    var = jnp.sum(jnp.where(valid, (log_sig - mean) ** 2, 0.0)) / n
+    std = jnp.sqrt(var)
+    normed = jnp.where(valid, (log_sig - mean) / (std + 1e-7), 0.0)
+
+    rows = []
+    consts = scale_constants(n_scales)
+    for width, c in zip(scale_widths(n_scales, tau), consts):
+        max_pts = int(10 * width)
+        M = min(max_pts, T)
+        pts = jnp.minimum(max_pts, length)
+        amp = 2 / (np.sqrt(3 * width) * np.pi**0.25)
+        j = jnp.arange(M)
+        vec = j.astype(dtype) - (pts.astype(dtype) - 1.0) / 2.0
+        xsq = vec**2
+        k = amp * (1 - xsq / width**2) * jnp.exp(-xsq / (2 * width**2))
+        k = jnp.where(j < pts, k, 0.0)
+        full = jnp.convolve(normed, k, mode="full")
+        start = jnp.maximum(pts - 1, 0) // 2
+        row = jax.lax.dynamic_slice(full, (start,), (T,))
+        rows.append(jnp.where(valid, row * c, 0.0))
+    return {
+        "signal": log_sig,
+        "spectrogram": jnp.stack(rows, axis=-1),
+        "mean": mean,
+        "std": std,
+    }
+
+
 def decompose_np(signal: np.ndarray) -> dict:
     """Host-side (numpy) twin of :func:`decompose` for the ragged data
     pipeline — identical math, no per-length recompilation."""

@@ -7,8 +7,10 @@ it to wav buckets; mel, energy, YIN pitch, WADA SNR, NaN interpolation,
 silence masking, phone-averaging and z-normalization all run inside the
 jitted train step (every implementation in audio/ is pure JAX).
 
-CWT-transformed variances stay host-side (ragged wavelet lengths) — use the
-standard pipeline for those configs.
+CWT-transformed variances run on-device too: the ragged wavelet lengths
+become dynamic-length kernels inside static buffers
+(:func:`audio.cwt.decompose_padded`), so log-pitch CWT spectrograms +
+utterance mean/std are computed inside the same jitted step.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lightningfastspeech2_tpu.audio import cwt as cwt_mod
 from lightningfastspeech2_tpu.audio import features as feat
 from lightningfastspeech2_tpu.audio import mel as mel_mod
 from lightningfastspeech2_tpu.audio import pitch as pitch_mod
@@ -35,9 +38,12 @@ def extract_batch_features(
     cfg: Config,
     stats: StatsTree,
     max_frames: int,
+    phones_lengths: jnp.ndarray = None,  # (B,) true phone counts
 ) -> Dict[str, jnp.ndarray]:
     """Returns mel (B, T, n_mels) + variances_* matching the host pipeline
-    (datasets.py:562-648 semantics), all jitted."""
+    (datasets.py:562-648 semantics), all jitted. ``phones_lengths`` is
+    required for phone-level CWT variances (masks the ragged-length
+    decomposition); other configs derive everything from ``durations``."""
     a = cfg.model.audio
     vcfg = cfg.model.variance
     stats_map = dict(stats)
@@ -65,12 +71,10 @@ def extract_batch_features(
     )
     silence_frames = silence_frames > 0.5
 
+    frame_lengths = jnp.minimum(durations.sum(axis=1), max_frames)
+
     result: Dict[str, jnp.ndarray] = {"mel": raw["mel"]}
     for i, var in enumerate(vcfg.variances):
-        if vcfg.transforms[i] == "cwt":
-            raise NotImplementedError(
-                "CWT variances use the host pipeline (ragged wavelets)"
-            )
         sig = raw[var].astype(jnp.float32)
         if var == "pitch":
             sig = jnp.where(sig == 0, jnp.nan, sig)
@@ -88,6 +92,29 @@ def extract_batch_features(
             sig = jax.vmap(
                 lambda s, d: feat.phone_average_jnp(s, d, P)
             )(sig, durations)
+            lengths = phones_lengths
+        else:
+            lengths = frame_lengths
+        if vcfg.transforms[i] == "cwt":
+            if lengths is None:
+                raise ValueError(
+                    "phone-level CWT on-device extraction needs "
+                    "phones_lengths (present in raw-mode batches)"
+                )
+            dec = jax.vmap(cwt_mod.decompose_padded)(
+                sig, lengths.astype(jnp.int32)
+            )
+            # host stores the cleaned linear signal (dataset.py:366: the
+            # model's teacher path re-logs it); padding stays 0
+            valid = (jnp.arange(sig.shape[1])[None]
+                     < lengths.astype(jnp.int32)[:, None])
+            result[f"variances_{var}_signal"] = jnp.where(
+                valid, jnp.exp(dec["signal"]), 0.0
+            )
+            result[f"variances_{var}_spectrogram"] = dec["spectrogram"]
+            result[f"variances_{var}_mean"] = dec["mean"]
+            result[f"variances_{var}_std"] = dec["std"]
+            continue
         if vcfg.transforms[i] == "log":
             sig = jnp.log(jnp.maximum(sig, 1e-10))
         else:
@@ -105,7 +132,7 @@ def augment_batch_with_features(batch, cfg: Config, stats: StatsTree):
     max_frames = min(max_frames, cfg.model.max_frames)
     feats = extract_batch_features(
         batch["wav"], batch["duration"], batch["silence_phone"], cfg, stats,
-        max_frames,
+        max_frames, phones_lengths=batch.get("phones_lengths"),
     )
     out = dict(batch)
     out.update(feats)

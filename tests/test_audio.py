@@ -6,6 +6,7 @@ reference's algorithms (librosa Slaney mel, scipy.signal.cwt semantics,
 per-frame RMS loops from datasets.py:601-620).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -138,6 +139,34 @@ def test_cwt_decompose_matches_scipy_semantics():
     np.testing.assert_allclose(np.asarray(out["spectrogram"]), ref_spec, atol=1e-4)
     np.testing.assert_allclose(float(out["mean"]), log_sig.mean(), atol=1e-6)
     np.testing.assert_allclose(float(out["std"]), log_sig.std(), atol=1e-6)
+
+
+def test_cwt_decompose_padded_matches_host_ragged():
+    """decompose_padded (jitted, static buffer + traced true length) must
+    reproduce decompose_np exactly on the true region — this is what lets
+    CWT variances run inside the train step (on_device_features)."""
+    g = np.random.default_rng(7)
+    T = 512
+    fn = jax.jit(jcwt.decompose_padded)
+    for length in (7, 20, 50, 139, 300, 512):
+        sig = np.exp(g.standard_normal(length) * 0.3 + 5.0)
+        padded = np.zeros(T, np.float32)
+        padded[:length] = sig
+        out = fn(jnp.asarray(padded), jnp.int32(length))
+        ref = jcwt.decompose_np(sig)
+        np.testing.assert_allclose(
+            np.asarray(out["signal"])[:length], ref["signal"],
+            atol=1e-4, err_msg=f"signal L={length}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["spectrogram"])[:length], ref["spectrogram"],
+            atol=2e-4, err_msg=f"spectrogram L={length}",
+        )
+        np.testing.assert_allclose(float(out["mean"]), ref["mean"], atol=1e-5)
+        np.testing.assert_allclose(float(out["std"]), ref["std"], atol=1e-5)
+        # padding region zeroed
+        assert np.all(np.asarray(out["signal"])[length:] == 0)
+        assert np.all(np.asarray(out["spectrogram"])[length:] == 0)
 
 
 def test_cwt_recompose_roundtrip_correlation():

@@ -105,6 +105,96 @@ def test_augment_batch_inside_jit(setup):
     assert np.isfinite(np.asarray(pitch)).all()
 
 
+@pytest.mark.parametrize("level", ["frame", "phone"])
+def test_on_device_cwt_matches_host_pipeline(tmp_path, level):
+    """CWT-transformed variances extracted on-device (decompose_padded)
+    match the host dataset pipeline's spectrogram/signal/mean/std."""
+    corpus = make_corpus(tmp_path / "c", n_speakers=1, n_utts=2, seed=13)
+    dcfg = DataConfig(
+        variances=("pitch",),
+        variance_levels=(level,),
+        variance_transforms=("cwt",),
+        augment_duration=0.0, stat_entries=2, load_wav=True,
+        max_phones=32, max_frames=512,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = C.Config(model=C.ModelConfig(
+        variance=C.VarianceConfig(
+            variances=("pitch",), levels=(level,), transforms=("cwt",),
+            losses=("mse",), nlayers=(2,), kernel_sizes=(3,),
+            dropouts=(0.1,), loss_weights=(0.1,),
+        ),
+        max_phones=32, max_frames=512,
+    ))
+    stats = ((("pitch"), VarianceStats(**ds.stats["pitch"])),)
+
+    item = ds.__getitem__(0, augment=False)
+    batch = ds.collate([item])
+    T = batch["mel"].shape[1]
+    hop = cfg.model.audio.hop_length
+    wav = np.zeros((1, T * hop), np.float32)
+    wav[0, : len(item["wav"])] = item["wav"]
+    silence_phone = np.zeros((1, batch["phones"].shape[1]), bool)
+    silence_phone[0, : len(item["unexpanded_silence_mask"])] = item[
+        "unexpanded_silence_mask"
+    ]
+    phones_lengths = np.asarray([len(item["phones"])])
+
+    feats = jax.jit(
+        lambda w, d, s, p: extract_batch_features(w, d, s, cfg, stats, T, p)
+    )(jnp.asarray(wav), jnp.asarray(batch["duration"]),
+      jnp.asarray(silence_phone), jnp.asarray(phones_lengths))
+
+    n = (len(item["phones"]) if level == "phone"
+         else int(item["duration"].sum()))
+    got_sig = np.asarray(feats["variances_pitch_signal"])[0, :n]
+    want_sig = batch["variances_pitch_signal"][0, :n]
+    assert np.median(np.abs(got_sig - want_sig)) < 0.05
+    got_spec = np.asarray(feats["variances_pitch_spectrogram"])[0, :n]
+    want_spec = batch["variances_pitch_spectrogram"][0, :n]
+    # same algorithm; differences only where f32 YIN pitch differs from the
+    # host's f64 track near voicing boundaries
+    assert np.median(np.abs(got_spec - want_spec)) < 0.05
+    np.testing.assert_allclose(
+        float(feats["variances_pitch_mean"][0]),
+        batch["variances_pitch_mean"][0], atol=0.2,
+    )
+
+
+def test_raw_mode_training_cwt(tmp_path):
+    """Raw-mode training with a CWT variance: features (incl. the CWT
+    decomposition) extracted inside the jitted step, losses finite."""
+    from lightningfastspeech2_tpu.train.loop import fit
+    from tests.test_end_to_end import small_train_config
+
+    corpus = make_corpus(tmp_path / "c", n_speakers=1, n_utts=4, seed=29)
+    dcfg = DataConfig(
+        variances=("pitch", "energy"),
+        variance_levels=("frame", "frame"),
+        variance_transforms=("cwt", "none"),
+        augment_duration=0.0, speaker_type="dvector",
+        stat_entries=4, raw_mode=True,
+        max_phones=32, max_frames=256,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = small_train_config()
+    var = C.VarianceConfig(
+        variances=("pitch", "energy"), levels=("frame", "frame"),
+        transforms=("cwt", "none"), losses=("mse", "mse"), nlayers=(2, 2),
+        kernel_sizes=(3, 3), dropouts=(0.1, 0.1), loss_weights=(0.1, 0.1),
+        filter_size=48, nbins=32,
+    )
+    cfg = C.replace(cfg, **{
+        "model.variance": var,
+        "train.on_device_features": True,
+    })
+    result = fit(cfg, ds, max_steps=3)
+    last = result.history[-1]
+    for key in ("pitch_cwt", "pitch_mean", "pitch_std", "energy", "mel",
+                "duration", "total"):
+        assert key in last and np.isfinite(last[key]), (key, last)
+
+
 def test_raw_mode_training_end_to_end(tmp_path):
     """Full on-device-features training: raw-wav batches, features
     extracted inside the jitted step."""
