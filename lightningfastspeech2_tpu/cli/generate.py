@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "FastDiff (reference generate.py:37-38,163-171)")
     p.add_argument("--fastdiff_n", type=int, default=None,
                    help="reverse-diffusion steps (default: checkpoint cfg)")
+    p.add_argument("--restore", type=str2bool, default=False,
+                   help="post-vocoder restoration to 44.1 kHz (declip + "
+                        "denoise + band-limited upsample + band "
+                        "replication) — the reference's VoiceFixer slot "
+                        "(its generate.py --voicefixer)")
     # post-vocoder waveform augmentations (reference reflects
     # audiomentations' params as flags, generate.py:48-104; the native
     # transforms live in synthesis/augment.py)
@@ -202,6 +207,12 @@ def load_generator(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     gen, cfg, sidecar = load_generator(args)
+    restorer = None
+    if args.restore:
+        from lightningfastspeech2_tpu.synthesis.restore import AudioRestorer
+
+        restorer = AudioRestorer()
+    augment = None
     if args.augment_pitch_shift or args.augment_gaussian_snr or args.augment_room:
         from lightningfastspeech2_tpu.synthesis.augment import from_args
 
@@ -217,8 +228,14 @@ def main(argv=None):
             # explicit opt-in via flag -> always applied
             pitch_shift_p=1.0, gaussian_snr_p=1.0, room_p=1.0,
         )
-        # applied post-vocoder (reference generator.py:197-201)
-        gen.postprocess = augment
+    if restorer is not None or augment is not None:
+        from lightningfastspeech2_tpu.synthesis.generator import (
+            PostProcessChain,
+        )
+
+        # applied post-vocoder: restore first, then augment at the
+        # restored rate (reference generator.py:173-201)
+        gen.set_postprocess(PostProcessChain(restorer, augment))
     out_dir = Path(args.output_path)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -234,7 +251,7 @@ def main(argv=None):
         )
         out = out_dir / "sentence.wav"
         gen.save_audio(out, wav)
-        print(f"wrote {out} ({len(wav) / gen.sampling_rate:.2f}s)")
+        print(f"wrote {out} ({len(wav) / gen.output_sampling_rate:.2f}s)")
         return
 
     if args.dataset:
@@ -277,7 +294,7 @@ def main(argv=None):
                 pickle.dump(
                     {"phones": item["phones"], "durations": item["duration"]}, fh
                 )
-            total_s += len(wav) / gen.sampling_rate
+            total_s += len(wav) / gen.output_sampling_rate
             if total_s >= budget_s:
                 break
         print(f"re-synthesized {total_s / 3600:.2f} hours into {out_dir}")

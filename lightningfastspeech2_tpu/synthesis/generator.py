@@ -5,9 +5,10 @@ Mirrors the reference's ``SpeechGenerator``
 ids; speaker selection (explicit, or random with priors available); prior
 selection (sample from the speaker's observed priors / GMM sample / CLI
 override); acoustic model inference; vocoder (HiFi-GAN, or FastDiff N-step
-when wired); waveform save. VoiceFixer/audiomentations post-processing are
-CPU-side hooks accepted as callables (the underlying packages are not
-available in this environment).
+when wired); restoration (synthesis/restore.AudioRestorer, the
+VoiceFixer-slot analog) or any other post-process callable; waveform save
+at the post-processor's output rate (reference saves VoiceFixer output at
+44.1 kHz, generator.py:81-94).
 """
 
 from __future__ import annotations
@@ -54,6 +55,12 @@ class SpeechGenerator:
         self.speaker_gmms = speaker_gmms or {}
         self.dvector_gmms = dvector_gmms or {}
         self.postprocess = postprocess
+        # a restoring post-processor may change the output rate (VoiceFixer
+        # outputs 44.1 kHz; reference save_audio, generator.py:81-94)
+        self.output_sampling_rate = (
+            getattr(postprocess, "output_sampling_rate", None)
+            or cfg.model.audio.sampling_rate
+        )
         self.bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
         self._infer = jax.jit(
             lambda params, batch, rng: self.model.apply(
@@ -65,6 +72,15 @@ class SpeechGenerator:
     @property
     def sampling_rate(self) -> int:
         return self.cfg.model.audio.sampling_rate
+
+    def set_postprocess(self, fn) -> None:
+        """Install a post-processor after construction, keeping the save
+        rate in sync (a restorer outputs 44.1 kHz)."""
+        self.postprocess = fn
+        self.output_sampling_rate = (
+            getattr(fn, "output_sampling_rate", None)
+            or self.cfg.model.audio.sampling_rate
+        )
 
     # ------------------------------------------------------------ text path
     def text_to_ids(self, text: str) -> np.ndarray:
@@ -179,4 +195,25 @@ class SpeechGenerator:
         return audios
 
     def save_audio(self, path, audio: np.ndarray) -> None:
-        wav_io.write(path, audio, self.sampling_rate)
+        wav_io.write(path, audio, self.output_sampling_rate)
+
+
+class PostProcessChain:
+    """Compose post-vocoder processors (restoration, augmentations),
+    threading the sample rate through rate-changing stages. The reference
+    applies VoiceFixer and augmentations as separate ad-hoc blocks (and
+    augments the *pre-restore* audio, generator.py:197-201, losing the
+    augmentations whenever VoiceFixer is on — not replicated)."""
+
+    def __init__(self, *fns):
+        self.fns = [f for f in fns if f is not None]
+        rate = None
+        for f in self.fns:
+            rate = getattr(f, "output_sampling_rate", rate)
+        self.output_sampling_rate = rate  # None -> rate unchanged
+
+    def __call__(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        for f in self.fns:
+            wav = f(wav, sr)
+            sr = getattr(f, "output_sampling_rate", sr)
+        return wav

@@ -77,3 +77,51 @@ def test_generate_with_augmentations(trained, tmp_path):
     assert not np.array_equal(w0, w1), "augmentation flag had no effect"
     # additive noise at 10 dB SNR: bounded, nonzero perturbation
     assert np.std(w1 - w0) > 0
+
+
+def test_generate_with_restore(trained, tmp_path):
+    """--restore pipes the vocoded audio through the AudioRestorer
+    (VoiceFixer-slot analog): output saved at 44.1 kHz, 2x the samples."""
+    from lightningfastspeech2_tpu.cli import generate as gen_cli
+    from lightningfastspeech2_tpu.data import wav as wav_io
+
+    ckpt_dir, _ = trained
+    plain, restored = tmp_path / "plain", tmp_path / "rest"
+    common = [
+        "--checkpoint_dir", str(ckpt_dir),
+        "--sentence", "hello world.",
+        "--no_vocoder", "--seed", "5",
+        "--prior_strategy", "sample",
+    ]
+    gen_cli.main(common + ["--output_path", str(plain)])
+    gen_cli.main(common + ["--output_path", str(restored),
+                           "--restore", "true"])
+    w0, sr0 = wav_io.read(plain / "sentence.wav")
+    w1, sr1 = wav_io.read(restored / "sentence.wav")
+    assert sr0 == 22050 and sr1 == 44100
+    assert len(w1) == 2 * len(w0)
+    assert np.isfinite(w1).all()
+
+
+def test_generate_restore_plus_augment_chain(trained, tmp_path):
+    """--restore composes with augmentation flags (restore first, then
+    augment at the restored rate)."""
+    from lightningfastspeech2_tpu.cli import generate as gen_cli
+    from lightningfastspeech2_tpu.data import wav as wav_io
+
+    ckpt_dir, _ = trained
+    out = tmp_path / "chain"
+    gen_cli.main([
+        "--checkpoint_dir", str(ckpt_dir),
+        "--sentence", "hello world.",
+        "--no_vocoder", "--seed", "5",
+        "--prior_strategy", "sample",
+        "--output_path", str(out),
+        "--restore", "true",
+        "--augment_gaussian_snr", "true",
+        "--augment_gaussian_snr_min_snr_db", "10",
+        "--augment_gaussian_snr_max_snr_db", "10",
+    ])
+    w, sr = wav_io.read(out / "sentence.wav")
+    assert sr == 44100
+    assert np.isfinite(w).all() and np.std(w) > 0
