@@ -140,6 +140,15 @@ def main():
     extra["device_fwd_ms"] = round(dt_scan * 1e3, 3)
     extra["device_audio_s_per_s"] = round(audio_seconds / dt_scan, 2)
 
+    # carry-chain sanity: the on-chip scan is ground truth (one program,
+    # nothing to overlap). If XLA had folded the eps-carry away, the host
+    # loop's dispatches would pipeline and beat the physical device time.
+    extra["chain_ratio_fwd"] = round(dt_tf / dt_scan, 3)
+    assert dt_tf > 0.85 * dt_scan, (
+        f"headline carry chain did not serialize: host-loop {dt_tf*1e3:.2f}"
+        f" ms/step < device scan {dt_scan*1e3:.2f} ms/step"
+    )
+
     # ---- 2. inference-mode forward (predicted durations) ----------------
     @jax.jit
     def infer(params, batch, carry):
@@ -191,6 +200,22 @@ def main():
     voc_rate, dt_voc = _rate(voc_step, jnp.zeros(()), voc_iters, voc_audio_s)
     extra["hifigan_vocoder_audio_s_per_s"] = round(voc_rate, 2)
     extra["hifigan_vocoder_step_ms"] = round(dt_voc * 1e3, 3)
+
+    # bf16 vocoder variant (generate --vocoder_precision 16; ~39 dB SNR
+    # vs the f32 output — opt-in)
+    voc16 = hg.Generator(hg.HifiGanConfig(), jnp.bfloat16)
+
+    @jax.jit
+    def vocode16(params, mel, carry):
+        return voc16.apply(params, mel + carry * 1e-30)
+
+    def voc16_step(carry):
+        wav = vocode16(voc.params, mel_voc, carry)
+        return wav[0, 0].astype(jnp.float32) * 1e-30
+
+    _ = vocode16(voc.params, mel_voc, jnp.zeros(()))
+    voc16_rate, dt16 = _rate(voc16_step, jnp.zeros(()), voc_iters, voc_audio_s)
+    extra["hifigan_vocoder_bf16_audio_s_per_s"] = round(voc16_rate, 2)
 
     # ---- 4. training step time ------------------------------------------
     from lightningfastspeech2_tpu.train.step import (
@@ -246,6 +271,11 @@ def main():
     float(train_scan(state, tbatch))
     dt_tscan = (time.perf_counter() - t0) / n_scan
     extra["device_train_step_ms"] = round(dt_tscan * 1e3, 3)
+    extra["chain_ratio_train"] = round(dt_train / dt_tscan, 3)
+    assert dt_train > 0.85 * dt_tscan, (
+        f"train carry chain did not serialize: host-loop {dt_train*1e3:.2f}"
+        f" ms/step < device scan {dt_tscan*1e3:.2f} ms/step"
+    )
 
     vs = headline / BASELINE_AUDIO_S_PER_S if BASELINE_AUDIO_S_PER_S else 1.0
     print(

@@ -48,6 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hifigan_checkpoint", type=str, default=None,
                    help="torch HiFi-GAN generator checkpoint to convert")
     p.add_argument("--no_vocoder", action="store_true")
+    p.add_argument("--vocoder_precision", type=int, default=32,
+                   choices=[16, 32],
+                   help="16 runs HiFi-GAN in bf16 (1.33x on v5e, ~39 dB "
+                        "SNR vs the f32 output)")
+    # multi-device serving placement (reference puts the TTS model and the
+    # vocoder on different GPUs: generate.py:34-35,77-80 --device /
+    # --synth_device; here: jax.devices() indices)
+    p.add_argument("--tts_device", type=int, default=None,
+                   help="jax.devices() index for the acoustic model")
+    p.add_argument("--vocoder_device", type=int, default=None,
+                   help="jax.devices() index for the vocoder")
     p.add_argument("--use_fastdiff", type=str2bool, default=False,
                    help="vocode with the checkpoint's jointly-trained "
                         "FastDiff (reference generate.py:37-38,163-171)")
@@ -167,7 +178,12 @@ def load_generator(args):
             params = jax.tree_util.tree_map(
                 np.asarray, hg.convert_torch_state_dict(state)
             )
-        synthesiser = hg.Synthesiser(hg.HifiGanConfig(), params=params)
+        import jax.numpy as jnp
+
+        voc_dtype = (jnp.bfloat16 if args.vocoder_precision == 16
+                     else jnp.float32)
+        synthesiser = hg.Synthesiser(hg.HifiGanConfig(), params=params,
+                                     dtype=voc_dtype)
 
     speaker_gmms = None
     gmm_path = Path(args.checkpoint_dir) / "prior_gmms.pkl"
@@ -190,6 +206,17 @@ def load_generator(args):
         from lightningfastspeech2_tpu.synthesis.neural_g2p import NeuralG2P
 
         neural_g2p = NeuralG2P.load(args.g2p_model)
+
+    # device placement: committed params pin each jitted program to its
+    # device; activations follow (XLA inserts the host/ICI transfer)
+    if args.tts_device is not None:
+        acoustic_params = jax.device_put(
+            acoustic_params, jax.devices()[args.tts_device]
+        )
+    if args.vocoder_device is not None and synthesiser is not None:
+        synthesiser.params = jax.device_put(
+            synthesiser.params, jax.devices()[args.vocoder_device]
+        )
 
     gen = SpeechGenerator(
         C.replace(cfg, model=mcfg), model, acoustic_params, vocab,

@@ -125,3 +125,28 @@ def test_generate_restore_plus_augment_chain(trained, tmp_path):
     w, sr = wav_io.read(out / "sentence.wav")
     assert sr == 44100
     assert np.isfinite(w).all() and np.std(w) > 0
+
+
+def test_multi_device_serving_placement(trained):
+    """--tts_device/--vocoder_device commit the acoustic model and the
+    vocoder to different devices (reference serves tts on cuda:0 and
+    HiFi-GAN on cuda:1, generate.py:34-35,77-80)."""
+    import jax
+
+    from lightningfastspeech2_tpu.cli import generate as gen_cli
+
+    assert jax.device_count() >= 2
+    ckpt_dir, _ = trained
+    args = gen_cli.build_parser().parse_args([
+        "--checkpoint_dir", str(ckpt_dir),
+        "--tts_device", "0", "--vocoder_device", "1",
+        "--prior_strategy", "sample",
+    ])
+    gen, _, _ = gen_cli.load_generator(args)
+    d0, d1 = jax.devices()[0], jax.devices()[1]
+    leaf = jax.tree_util.tree_leaves(gen.params)[0]
+    assert leaf.devices() == {d0}
+    voc_leaf = jax.tree_util.tree_leaves(gen.synthesiser.params)[0]
+    assert voc_leaf.devices() == {d1}
+    wav = gen.generate_from_text("hello world.", seed=0)
+    assert np.isfinite(wav).all() and len(wav) > 0
