@@ -360,6 +360,62 @@ class Generator(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# fused-kernel inference path
+# ---------------------------------------------------------------------------
+
+
+def generator_apply_fused(params, mel, cfg: HifiGanConfig = HifiGanConfig(),
+                          dtype=jnp.bfloat16, tile_m: int = 512,
+                          interpret: bool = False):
+    """Generator forward with the resblock groups on the fused Pallas
+    kernel (ops/pallas_hifigan.py) — same params pytree, same output as
+    ``Generator.apply`` at the working dtype.
+
+    The late stages' C<128 convs under-fill the MXU lanes (measured 3-10%
+    MFU on v5e); the kernel runs them in a folded (L/f, f*C) layout with
+    all six convs of each resblock resident in VMEM. bf16 only: at f32
+    the per-resblock tap weights for the C=256 stage exceed VMEM.
+    """
+    from ..ops.pallas_hifigan import fused_resblock, resblock_taps
+
+    c = cfg
+    p = params["params"]
+
+    def wb(name):
+        return (jnp.asarray(p[name]["kernel"], dtype),
+                jnp.asarray(p[name]["bias"], dtype))
+
+    w, b = wb("conv_pre")
+    x = conv1d(mel.astype(dtype), w, b, 1, 3)
+    n_kernels = len(c.resblock_kernel_sizes)
+    for i, (rate, k_up) in enumerate(
+        zip(c.upsample_rates, c.upsample_kernel_sizes)
+    ):
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        ch = c.upsample_initial_channel // (2 ** (i + 1))
+        w, b = wb(f"ups_{i}")
+        x = conv_transpose1d(x, w, b, rate, (k_up - rate) // 2)
+        fold = max(128 // ch, 1)
+        B, L, _ = x.shape
+        xf = x.reshape(B, L // fold, fold * ch)
+        acc = None
+        for j, (k, ds) in enumerate(
+            zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+        ):
+            rb = p[f"resblocks_{i * n_kernels + j}"]
+            weights, shifts, biases = resblock_taps(
+                rb, k, tuple(ds), fold, dtype)
+            y = fused_resblock(xf, weights, shifts, biases,
+                               tile_m=tile_m, interpret=interpret)
+            acc = y if acc is None else acc + y
+        x = (acc / n_kernels).reshape(B, L, ch)
+    x = nn.leaky_relu(x, 0.01)
+    w, b = wb("conv_post")
+    x = conv1d(x, w, b, 1, 3)
+    return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
 # torch checkpoint conversion
 # ---------------------------------------------------------------------------
 
