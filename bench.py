@@ -217,6 +217,27 @@ def main():
     voc16_rate, dt16 = _rate(voc16_step, jnp.zeros(()), voc_iters, voc_audio_s)
     extra["hifigan_vocoder_bf16_audio_s_per_s"] = round(voc16_rate, 2)
 
+    # bf16 + fused Pallas resblock kernel (the production bf16 serving
+    # path: Synthesiser(dtype=bf16) picks it automatically on TPU)
+    if jax.default_backend() != "cpu":
+        @jax.jit
+        def vocode_fused(params, mel, carry):
+            return hg.generator_apply_fused(
+                params, mel + carry * 1e-30, hg.HifiGanConfig(),
+                dtype=jnp.bfloat16,
+            )
+
+        def voc_fused_step(carry):
+            wav = vocode_fused(voc.params, mel_voc, carry)
+            return wav[0, 0].astype(jnp.float32) * 1e-30
+
+        _ = vocode_fused(voc.params, mel_voc, jnp.zeros(()))
+        vocf_rate, dtf = _rate(
+            voc_fused_step, jnp.zeros(()), voc_iters, voc_audio_s
+        )
+        extra["hifigan_vocoder_fused_audio_s_per_s"] = round(vocf_rate, 2)
+        extra["hifigan_vocoder_fused_step_ms"] = round(dtf * 1e3, 3)
+
     # ---- 4. training step time ------------------------------------------
     from lightningfastspeech2_tpu.train.step import (
         create_train_state,

@@ -152,7 +152,7 @@ def fused_resblock(
     weights: Sequence[jnp.ndarray],        # 6x (n_taps_i, D, D)
     shifts: Sequence[Tuple[int, ...]],     # 6x static tap shifts
     biases: jnp.ndarray,                   # (6, D) f32, fold-tiled
-    tile_m: int = 512,
+    tile_m: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run one ResBlock1 (6 convs as block taps) fused in VMEM.
