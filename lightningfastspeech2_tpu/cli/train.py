@@ -288,6 +288,7 @@ def main(argv=None):
         seed=args.seed,
         max_phones=cfg.model.max_phones,
         max_frames=cfg.model.max_frames,
+        scan_workers=args.num_workers,
     )
     print(f"scanning corpus {args.train_target_path} ...", flush=True)
     dataset = TTSDataset(

@@ -66,6 +66,9 @@ class DataConfig:
     raw_mode: bool = False
     max_phones: int = 512
     max_frames: int = 2816
+    # process-parallel corpus scan (reference process_map(_create_entry),
+    # datasets.py:133-140); 0 = serial
+    scan_workers: int = 0
 
 
 @dataclass
@@ -78,6 +81,56 @@ class Entry:
     end: float
     speaker: str
     text: str = ""
+
+
+def _scan_worker_init():
+    """Scan workers are fresh spawn interpreters; pin any lazy JAX init in
+    the import chain to the CPU backend (same rationale as data/loader.py:
+    a child touching the TPU runtime would deadlock or fight the parent)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def _scan_one(tg_path: Path, cfg: DataConfig, root: Path) -> Optional[Entry]:
+    """Parse one TextGrid into an Entry, or None if filtered/unusable
+    (reference ``_create_entry``, datasets.py:692-742)."""
+    sr, hop = cfg.audio.sampling_rate, cfg.audio.hop_length
+    wav_path = tg_path.with_suffix(".wav")
+    if not wav_path.exists():
+        return None
+    try:
+        tg = load_textgrid(tg_path)
+        tier = tg.tier("phones")
+    except (ValueError, KeyError):
+        return None
+    phones, durations, start, end = tier_to_alignment(tier, sr, hop)
+    if not phones:
+        return None
+    length = end - start
+    if length < cfg.min_length or length > cfg.max_length:
+        return None
+    phones = [normalize_phone(p, cfg.source_phoneset) for p in phones]
+    if len(phones) > cfg.max_phones:
+        return None
+    rel = tg_path.relative_to(root)
+    speaker = rel.parts[0] if len(rel.parts) > 1 else "speaker0"
+    text = ""
+    try:
+        words = tg.tier("words")
+        text = " ".join(iv.text for iv in words.intervals if iv.text)
+    except KeyError:
+        pass
+    return Entry(
+        utt_id=tg_path.stem,
+        audio_path=wav_path,
+        phones=phones,
+        durations=np.asarray(durations, dtype=np.int64),
+        start=start,
+        end=end,
+        speaker=speaker,
+        text=text,
+    )
 
 
 def _cpu_device():
@@ -169,47 +222,28 @@ class TTSDataset:
     # ------------------------------------------------------------ scanning
     @staticmethod
     def scan(root: Path, cfg: DataConfig) -> List[Entry]:
-        entries = []
-        sr, hop = cfg.audio.sampling_rate, cfg.audio.hop_length
-        for tg_path in sorted(root.rglob("*.TextGrid")):
-            wav_path = tg_path.with_suffix(".wav")
-            if not wav_path.exists():
-                continue
-            try:
-                tg = load_textgrid(tg_path)
-                tier = tg.tier("phones")
-            except (ValueError, KeyError):
-                continue
-            phones, durations, start, end = tier_to_alignment(tier, sr, hop)
-            if not phones:
-                continue
-            length = end - start
-            if length < cfg.min_length or length > cfg.max_length:
-                continue
-            phones = [normalize_phone(p, cfg.source_phoneset) for p in phones]
-            if len(phones) > cfg.max_phones:
-                continue
-            rel = tg_path.relative_to(root)
-            speaker = rel.parts[0] if len(rel.parts) > 1 else "speaker0"
-            text = ""
-            try:
-                words = tg.tier("words")
-                text = " ".join(iv.text for iv in words.intervals if iv.text)
-            except KeyError:
-                pass
-            entries.append(
-                Entry(
-                    utt_id=tg_path.stem,
-                    audio_path=wav_path,
-                    phones=phones,
-                    durations=np.asarray(durations, dtype=np.int64),
-                    start=start,
-                    end=end,
-                    speaker=speaker,
-                    text=text,
+        """Parse every aligned (TextGrid, wav) pair under ``root`` into
+        Entries. With ``cfg.scan_workers > 1`` the parse fans out over a
+        spawn-based process pool (reference ``process_map(_create_entry)``,
+        datasets.py:133-140) with deterministic, path-sorted output order.
+        """
+        paths = sorted(root.rglob("*.TextGrid"))
+        if cfg.scan_workers > 1 and len(paths) >= 4 * cfg.scan_workers:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            chunk = -(-len(paths) // (cfg.scan_workers * 4))
+            with ProcessPoolExecutor(
+                max_workers=cfg.scan_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_scan_worker_init,
+            ) as pool:
+                results = pool.map(
+                    functools.partial(_scan_one, cfg=cfg, root=root),
+                    paths, chunksize=chunk,
                 )
-            )
-        return entries
+                return [e for e in results if e is not None]
+        return [e for p in paths if (e := _scan_one(p, cfg, root)) is not None]
 
     def __len__(self) -> int:
         return len(self.entries)

@@ -167,3 +167,20 @@ def test_stats_cache_roundtrip(corpus, tmp_path):
     )
     ds3 = TTSDataset(root=corpus, cfg=cfg3, cache_dir=tmp_path)
     assert len(list(tmp_path.glob("stats_*.json"))) == 2
+
+
+def test_parallel_scan_matches_serial(tmp_path):
+    from dataclasses import replace
+
+    from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset
+
+    root = make_corpus(tmp_path / "corpus", n_speakers=2, n_utts=6, seed=3)
+    cfg = DataConfig(stat_entries=0)
+    serial = TTSDataset.scan(root, replace(cfg, scan_workers=0))
+    parallel = TTSDataset.scan(root, replace(cfg, scan_workers=2))
+    assert len(serial) == len(parallel) > 0
+    for a, b in zip(serial, parallel):
+        assert a.utt_id == b.utt_id and a.speaker == b.speaker
+        assert a.phones == b.phones and a.text == b.text
+        np.testing.assert_array_equal(a.durations, b.durations)
+        assert (a.start, a.end, a.audio_path) == (b.start, b.end, b.audio_path)
