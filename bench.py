@@ -238,6 +238,44 @@ def main():
         extra["hifigan_vocoder_fused_audio_s_per_s"] = round(vocf_rate, 2)
         extra["hifigan_vocoder_fused_step_ms"] = round(dtf * 1e3, 3)
 
+    # ---- 3b. FastDiff N=4 mel->wav throughput ----------------------------
+    # the reference's quality vocoder (generate.py --use_fastdiff,
+    # FastDiff.py:149-195); N=4 is its canonical serving schedule
+    from lightningfastspeech2_tpu.vocoder import diffusion as fd_diff
+    from lightningfastspeech2_tpu.vocoder.fastdiff import (
+        FastDiffConfig,
+        FastDiffVocoder,
+    )
+
+    fd = FastDiffVocoder(FastDiffConfig(), rng=jax.random.PRNGKey(7))
+    Tf = int(os.environ.get("BENCH_FASTDIFF_FRAMES", 256))
+    Bf = int(os.environ.get("BENCH_FASTDIFF_BATCH", 4))
+    mel_fd = jnp.asarray(
+        np.random.default_rng(1).standard_normal((Bf, Tf, 80)), jnp.float32
+    )
+    fd_sched = fd_diff.make_inference_schedule(fd.hp, 4)
+    fd_shape = (Bf, Tf * fd.cfg.hop_length)
+
+    @jax.jit
+    def fd_vocode(params, mel, carry):
+        eps_fn = lambda x, ts: fd.model.apply(
+            params, x, mel + carry * 1e-30, ts
+        )
+        return fd_diff.reverse_sample(
+            eps_fn, fd_shape, fd_sched, jax.random.PRNGKey(8)
+        )
+
+    def fd_step(carry):
+        wav = fd_vocode(fd.params, mel_fd, carry)
+        return wav[0, 0].astype(jnp.float32) * 1e-30
+
+    _ = fd_vocode(fd.params, mel_fd, jnp.zeros(()))  # compile
+    fd_audio_s = Bf * Tf * fd.cfg.hop_length / sr
+    fd_iters = max(iters // 5, 5)
+    fd_rate, dt_fd = _rate(fd_step, jnp.zeros(()), fd_iters, fd_audio_s)
+    extra["fastdiff_vocoder_n4_audio_s_per_s"] = round(fd_rate, 2)
+    extra["fastdiff_vocoder_n4_step_ms"] = round(dt_fd * 1e3, 3)
+
     # ---- 4. training step time ------------------------------------------
     from lightningfastspeech2_tpu.train.step import (
         create_train_state,

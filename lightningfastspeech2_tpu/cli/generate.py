@@ -169,15 +169,29 @@ def load_generator(args):
     elif not args.no_vocoder:
         params = None
         if args.hifigan_checkpoint:
-            import torch
+            hc = Path(args.hifigan_checkpoint)
+            if hc.is_dir():
+                # a cli.train_vocoder checkpoint directory ({gen, disc}
+                # orbax tree); serve the generator half
+                from lightningfastspeech2_tpu.core.checkpoint import (
+                    Checkpointer,
+                )
 
-            state = torch.load(args.hifigan_checkpoint, map_location="cpu")
-            if "generator" in state:
-                state = state["generator"]
-            state = {k: v.numpy() for k, v in state.items()}
-            params = jax.tree_util.tree_map(
-                np.asarray, hg.convert_torch_state_dict(state)
-            )
+                tree, _, _ = Checkpointer(hc).restore()
+                params = jax.tree_util.tree_map(
+                    np.asarray, tree["params"]["gen"]
+                )
+            else:
+                import torch
+
+                state = torch.load(args.hifigan_checkpoint,
+                                   map_location="cpu")
+                if "generator" in state:
+                    state = state["generator"]
+                state = {k: v.numpy() for k, v in state.items()}
+                params = jax.tree_util.tree_map(
+                    np.asarray, hg.convert_torch_state_dict(state)
+                )
         import jax.numpy as jnp
 
         voc_dtype = (jnp.bfloat16 if args.vocoder_precision == 16

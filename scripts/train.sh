@@ -39,3 +39,7 @@ python -m lightningfastspeech2_tpu.cli.train \
   --precision bf16 \
   --checkpoint_dir "${CKPT_DIR:-checkpoints}" \
   "$@"
+
+# FastDiff joint training (the reference's canonical config enables it,
+# scripts/train.sh:44-47) — append:
+#   --fastdiff_vocoder True --fastdiff_variances True --fastdiff_speakers True

@@ -1,0 +1,93 @@
+"""cli.train_vocoder end-to-end: train a tiny HiFi-GAN a few steps on a
+synthetic wav corpus, checkpoint, resume, and serve the saved generator."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def wav_corpus(tmp_path):
+    from lightningfastspeech2_tpu.data import wav as wav_io
+
+    root = tmp_path / "wavs"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        t = np.arange(8000) / 22050.0
+        sig = 0.4 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+        sig += 0.01 * rng.standard_normal(len(t))
+        wav_io.write(root / f"utt{i}.wav", sig.astype(np.float32), 22050)
+    return root
+
+
+TINY = [
+    "--upsample_rates", "8", "2",
+    "--upsample_kernel_sizes", "16", "4",
+    "--upsample_initial_channel", "16",
+    "--resblock_kernel_sizes", "3",
+    "--segment_size", "1024",
+    "--batch_size", "2",
+]
+
+
+def test_train_vocoder_cli_and_resume(wav_corpus, tmp_path):
+    from lightningfastspeech2_tpu.cli.train_vocoder import main
+
+    ckpt = tmp_path / "voc_ckpts"
+    logs = tmp_path / "logs"
+    main([
+        "--train_target_path", str(wav_corpus),
+        "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(logs),
+        "--max_steps", "3",
+        "--checkpoint_every", "2",
+        "--log_every", "1",
+        *TINY,
+    ])
+    assert (ckpt / "latest").exists()
+    lines = [json.loads(l) for l in
+             (logs / "metrics.jsonl").read_text().splitlines()]
+    assert any("train/d_loss" in l for l in lines)
+    assert any("train/mel" in l for l in lines)
+
+    # resume continues from the saved step counter
+    main([
+        "--train_target_path", str(wav_corpus),
+        "--checkpoint_dir", str(ckpt),
+        "--from_checkpoint", str(ckpt),
+        "--log_dir", str(logs),
+        "--max_steps", "5",
+        "--checkpoint_every", "100",
+        "--log_every", "1",
+        *TINY,
+    ])
+    lines = [json.loads(l) for l in
+             (logs / "metrics.jsonl").read_text().splitlines()
+             if l.strip()]
+    # fresh run logged steps 0..2, resumed run 3..4
+    steps = [l["step"] for l in lines]
+    assert 4 in steps and steps.count(0) == 1
+
+    # the saved generator serves: restore the tree and vocode a mel
+    from lightningfastspeech2_tpu.core.checkpoint import Checkpointer
+    from lightningfastspeech2_tpu.vocoder import hifigan as hg
+
+    tree, _, _ = Checkpointer(ckpt).restore()
+    gen_cfg = hg.HifiGanConfig(
+        upsample_rates=(8, 2), upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3, 5),),
+    )
+    gen = hg.Generator(gen_cfg)
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 32, 80)), jnp.float32
+    )
+    wav = gen.apply(
+        jax.tree_util.tree_map(jnp.asarray, tree["params"]["gen"]), mel
+    )
+    assert wav.shape == (1, 32 * gen_cfg.hop_length)
+    assert bool(jnp.all(jnp.isfinite(wav)))
