@@ -131,6 +131,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--soft_dtw_chunk_size", type=int, default=256)
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "32"])
+    p.add_argument("--bf16_moments", type=str2bool, default=False,
+                   help="Adam first moment in bf16 (cuts optimizer-state "
+                        "HBM a third)")
     p.add_argument("--on_device_features", type=str2bool, default=False,
                    help="extract mel/pitch/energy/SNR on the TPU inside the "
                         "train step (raw-wav host pipeline)")
@@ -239,7 +242,8 @@ def args_to_config(args):
         lr=args.lr, warmup_steps=args.warmup_steps,
         batch_size=args.batch_size, grad_accum=args.accumulate_grad_batches,
         grad_clip=args.gradient_clip_val, max_steps=args.max_steps,
-        bf16=args.precision == "bf16", seed=args.seed,
+        bf16=args.precision == "bf16", bf16_moments=args.bf16_moments,
+        seed=args.seed,
         on_device_features=args.on_device_features,
         mel_loss=args.mel_loss, soft_dtw_gamma=args.soft_dtw_gamma,
         soft_dtw_chunk_size=args.soft_dtw_chunk_size,

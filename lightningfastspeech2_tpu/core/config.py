@@ -192,6 +192,10 @@ class TrainConfig:
     grad_accum: int = 1
     max_steps: int = 100_000
     bf16: bool = True  # bfloat16 activations, f32 params/optimizer
+    # store the Adam first moment (mu) in bfloat16: cuts optimizer-state
+    # HBM (and its per-step read/write traffic) by a third at a small
+    # precision cost; nu/params/updates stay f32
+    bf16_moments: bool = False
     # compute mel/pitch/energy/SNR on-device inside the train step from raw
     # waveforms (requires DataConfig.raw_mode batches)
     on_device_features: bool = False

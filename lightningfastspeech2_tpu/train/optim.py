@@ -28,6 +28,8 @@ def noam_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    import jax.numpy as jnp
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
@@ -36,5 +38,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             b2=cfg.betas[1],
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
+            # bf16 first moment cuts optimizer-state HBM + per-step
+            # traffic by a third (update math still runs f32)
+            mu_dtype=jnp.bfloat16 if getattr(cfg, "bf16_moments", False)
+            else None,
         ),
     )

@@ -192,3 +192,28 @@ def test_fit_bf16(dataset):
     cfg = C.replace(cfg, **{"train.bf16": True})
     result = fit(cfg, dataset, max_steps=2)
     assert np.isfinite(result.history[-1]["total"])
+
+
+def test_fit_bf16_moments(dataset):
+    """bf16 first-moment optimizer state: mu stored in bfloat16, training
+    still converges on finite losses."""
+    import jax
+
+    cfg = small_train_config()
+    cfg = C.replace(cfg, **{"train.bf16_moments": True})
+    result = fit(cfg, dataset, max_steps=3)
+    assert np.isfinite(result.history[-1]["total"])
+    adam_state = [
+        s for s in jax.tree_util.tree_leaves(
+            result.state.opt_state,
+            is_leaf=lambda x: hasattr(x, "mu"),
+        )
+        if hasattr(s, "mu")
+    ]
+    assert adam_state, "no ScaleByAdamState found in opt_state"
+    mu_leaf = jax.tree_util.tree_leaves(adam_state[0].mu)[0]
+    nu_leaf = jax.tree_util.tree_leaves(adam_state[0].nu)[0]
+    import jax.numpy as jnp
+
+    assert mu_leaf.dtype == jnp.bfloat16
+    assert nu_leaf.dtype == jnp.float32
