@@ -276,6 +276,27 @@ def main():
     extra["fastdiff_vocoder_n4_audio_s_per_s"] = round(fd_rate, 2)
     extra["fastdiff_vocoder_n4_step_ms"] = round(dt_fd * 1e3, 3)
 
+    # bf16 FastDiff serving variant (generate --vocoder_precision 16)
+    fd16 = FastDiffVocoder(FastDiffConfig(), params=fd.params,
+                           dtype=jnp.bfloat16)
+
+    @jax.jit
+    def fd16_vocode(params, mel, carry):
+        eps_fn = lambda x, ts: fd16.model.apply(
+            params, x, mel + carry * 1e-30, ts
+        ).astype(jnp.float32)
+        return fd_diff.reverse_sample(
+            eps_fn, fd_shape, fd_sched, jax.random.PRNGKey(8)
+        )
+
+    def fd16_step(carry):
+        wav = fd16_vocode(fd.params, mel_fd, carry)
+        return wav[0, 0].astype(jnp.float32) * 1e-30
+
+    _ = fd16_vocode(fd.params, mel_fd, jnp.zeros(()))  # compile
+    fd16_rate, _dt = _rate(fd16_step, jnp.zeros(()), fd_iters, fd_audio_s)
+    extra["fastdiff_vocoder_n4_bf16_audio_s_per_s"] = round(fd16_rate, 2)
+
     # ---- 4. training step time ------------------------------------------
     from lightningfastspeech2_tpu.train.step import (
         create_train_state,

@@ -50,8 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_vocoder", action="store_true")
     p.add_argument("--vocoder_precision", type=int, default=32,
                    choices=[16, 32],
-                   help="16 runs HiFi-GAN in bf16 (1.33x on v5e, ~39 dB "
-                        "SNR vs the f32 output)")
+                   help="16 runs the vocoder (HiFi-GAN or FastDiff) in "
+                        "bf16 (HiFi-GAN: 2.8x with the fused kernel on "
+                        "v5e, ~39 dB SNR vs the f32 output)")
     # multi-device serving placement (reference puts the TTS model and the
     # vocoder on different GPUs: generate.py:34-35,77-80 --device /
     # --synth_device; here: jax.devices() indices)
@@ -157,8 +158,13 @@ def load_generator(args):
         from lightningfastspeech2_tpu.models.joint import make_fastdiff_config
         from lightningfastspeech2_tpu.vocoder.fastdiff import FastDiffVocoder
 
+        import jax.numpy as jnp
+
+        fd_dtype = (jnp.bfloat16 if args.vocoder_precision == 16
+                    else jnp.float32)
         fd = FastDiffVocoder(make_fastdiff_config(mcfg),
-                             params={"params": fastdiff_params})
+                             params={"params": fastdiff_params},
+                             dtype=fd_dtype)
         n_steps = args.fastdiff_n or mcfg.fastdiff_inference_steps
 
         def synthesiser(mel, _fd=fd, _n=n_steps):
