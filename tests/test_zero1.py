@@ -70,3 +70,37 @@ def test_zero1_shardings_structure():
         shardings.params, is_leaf=lambda x: hasattr(x, "spec")
     ):
         assert not any(ax == "data" for ax in (s.spec or ()))
+
+
+def test_zero1_with_bf16_moments():
+    """ZeRO-1 sharding composes with the bf16 first-moment option: the mu
+    leaves are bf16 AND sharded over the data axis, and the step runs."""
+    from lightningfastspeech2_tpu.core import config as C
+
+    assert jax.device_count() >= 8
+    mesh = mesh_lib.make_mesh(MeshConfig(data=8, model=1))
+    cfg = C.replace(tiny_config(), **{"train.bf16_moments": True})
+    model = FastSpeech2(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in make_dummy_batch(cfg.model, 8, 8).items()}
+    state, optimizer = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                          batch)
+    placed, _ = shard_state_zero1(mesh, state)
+    step_z1 = make_train_step(model, cfg, optimizer, mesh=mesh, donate=False,
+                              zero1=True)
+    sharded_batch = shard_batch_for_mesh(mesh, batch, accum_axis=False)
+    with mesh:
+        s_z1, m_z1 = step_z1(placed, sharded_batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m_z1["total"]))
+
+    adam = [s for s in jax.tree_util.tree_leaves(
+        s_z1.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(s, "mu")]
+    assert adam
+    mu_leaves = jax.tree_util.tree_leaves(adam[0].mu)
+    assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+    assert any(
+        hasattr(l, "sharding") and l.sharding.spec
+        and any(s == "data" for s in l.sharding.spec)
+        for l in mu_leaves
+    ), "no bf16 mu leaf sharded over the data axis"
