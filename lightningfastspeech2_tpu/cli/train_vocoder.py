@@ -191,7 +191,7 @@ def main(argv=None) -> None:
             state = state["generator"]
         state = {k: v.numpy() for k, v in state.items()}
         trainer.gen_params = jax.tree_util.tree_map(
-            jnp.asarray, hg.convert_torch_state_dict(state)
+            jnp.asarray, hg.convert_torch_state_dict(state, gen_cfg)
         )
         print(f"warm-started generator from {args.from_torch_hifigan}")
     elif args.from_checkpoint:
