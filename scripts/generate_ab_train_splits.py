@@ -10,11 +10,11 @@ import argparse
 from pathlib import Path
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("corpus", type=Path, help="aligned corpus root")
     p.add_argument("--suffixes", nargs=2, default=["-a", "-b"])
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     roots = [Path(str(args.corpus) + s) for s in args.suffixes]
     for r in roots:
