@@ -76,16 +76,16 @@ def location_variable_convolution(
     assert L == nL * hop_size, f"{L} != {nL}*{hop_size}"
     pad = (ks - 1) // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-    # segments of hop_size + 2*pad samples per conditioning frame
-    idx = (
-        jnp.arange(nL)[:, None] * hop_size + jnp.arange(hop_size + 2 * pad)[None, :]
-    )
-    segs = xp[:, idx, :]  # (B, nL, hop+2p, Cin)
+    # Tap k's per-frame window rows are k + hop*l + t — a contiguous
+    # slice [k, k+L) reshaped to (nL, hop), NOT a gather. (An earlier
+    # formulation materialized all overlapping windows through one fancy
+    # gather; TPU gathers serialize and dominated FastDiff serving.)
     out = None
     for k in range(ks):
-        contrib = jnp.einsum(
-            "blti,blio->blto", segs[:, :, k : k + hop_size, :], kernels[..., k]
+        seg = jax.lax.slice_in_dim(xp, k, k + L, axis=1).reshape(
+            B, nL, hop_size, Cin
         )
+        contrib = jnp.einsum("blti,blio->blto", seg, kernels[..., k])
         out = contrib if out is None else out + contrib
     out = out + bias[:, :, None, :]
     return out.reshape(B, L, Cout)
