@@ -122,6 +122,23 @@ def frame_signal(wav: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     pad = n_fft // 2
     padded = jnp.pad(wav, (pad, pad))
     n_frames = 1 + wav.shape[-1] // hop_length
+    if n_fft % hop_length == 0:
+        # frame[t, q*hop + r] = padded[hop*(t+q) + r]: each hop-sized
+        # column group is a contiguous slice+reshape — avoids the (T,
+        # n_fft) overlapping-window gather (TPU gathers serialize; this
+        # is the hot framing for on-device features and vocoder training)
+        q_groups = n_fft // hop_length
+        need = hop_length * (n_frames - 1) + n_fft
+        if padded.shape[-1] < need:
+            padded = jnp.pad(padded, (0, need - padded.shape[-1]))
+        cols = [
+            jax.lax.slice_in_dim(
+                padded, q * hop_length,
+                q * hop_length + hop_length * n_frames, axis=-1
+            ).reshape(n_frames, hop_length)
+            for q in range(q_groups)
+        ]
+        return jnp.concatenate(cols, axis=-1)
     idx = (
         jnp.arange(n_frames)[:, None] * hop_length
         + jnp.arange(n_fft)[None, :]
