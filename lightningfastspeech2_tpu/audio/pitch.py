@@ -128,8 +128,9 @@ def track(
     pad_left = win_length // 2
     padded = jnp.pad(wav.astype(jnp.float32), (pad_left, span))
     n_frames = 1 + n // hop_length
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(span)[None, :]
-    frames = padded[idx]
+    from lightningfastspeech2_tpu.audio.mel import overlapping_frames
+
+    frames = overlapping_frames(padded, n_frames, hop_length, span)
     return yin_frame_f0(frames, sampling_rate, f0_floor, f0_ceil)
 
 
