@@ -174,35 +174,46 @@ def load_generator(args):
             return wav[0] * 32768.0
     elif not args.no_vocoder:
         params = None
+        voc_cfg = hg.HifiGanConfig()
         if args.hifigan_checkpoint:
             hc = Path(args.hifigan_checkpoint)
             if hc.is_dir():
                 # a cli.train_vocoder checkpoint directory ({gen, disc}
-                # orbax tree); serve the generator half
+                # orbax tree); the generator architecture rides in the
+                # sidecar (train_vocoder supports non-V1 shapes)
                 from lightningfastspeech2_tpu.core.checkpoint import (
                     Checkpointer,
                 )
 
-                tree, _, _ = Checkpointer(hc).restore()
+                tree, _, sidecar = Checkpointer(hc).restore()
+                gc = (sidecar or {}).get("hifigan_config")
+                if gc:
+                    voc_cfg = hg.HifiGanConfig(
+                        resblock=gc["resblock"],
+                        upsample_rates=tuple(gc["upsample_rates"]),
+                        upsample_kernel_sizes=tuple(
+                            gc["upsample_kernel_sizes"]),
+                        upsample_initial_channel=gc[
+                            "upsample_initial_channel"],
+                        resblock_kernel_sizes=tuple(
+                            gc["resblock_kernel_sizes"]),
+                        resblock_dilation_sizes=tuple(
+                            tuple(d) for d in gc["resblock_dilation_sizes"]
+                        ),
+                        num_mels=gc["num_mels"],
+                        sampling_rate=gc["sampling_rate"],
+                    )
                 params = jax.tree_util.tree_map(
                     np.asarray, tree["params"]["gen"]
                 )
             else:
-                import torch
-
-                state = torch.load(args.hifigan_checkpoint,
-                                   map_location="cpu")
-                if "generator" in state:
-                    state = state["generator"]
-                state = {k: v.numpy() for k, v in state.items()}
-                params = jax.tree_util.tree_map(
-                    np.asarray, hg.convert_torch_state_dict(state)
-                )
+                params = hg.load_torch_generator(args.hifigan_checkpoint,
+                                                 voc_cfg)
         import jax.numpy as jnp
 
         voc_dtype = (jnp.bfloat16 if args.vocoder_precision == 16
                      else jnp.float32)
-        synthesiser = hg.Synthesiser(hg.HifiGanConfig(), params=params,
+        synthesiser = hg.Synthesiser(voc_cfg, params=params,
                                      dtype=voc_dtype)
 
     speaker_gmms = None

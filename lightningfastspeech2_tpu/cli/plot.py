@@ -47,11 +47,14 @@ def main(argv=None) -> None:
     n_var = len(args.variances)
     levels = tuple(args.variance_levels or ["frame"] * n_var)
     transforms = tuple(args.variance_transforms or ["none"] * n_var)
+    # a prior can only be computed for an extracted variance (or duration)
+    prior_names = tuple(p for p in args.priors
+                        if p == "duration" or p in args.variances)
     cfg = DataConfig(
         variances=tuple(args.variances),
         variance_levels=levels,
         variance_transforms=transforms,
-        priors=tuple(args.priors),
+        priors=prior_names,
         stat_entries=args.stat_entries,
         augment_duration=0.0,
         seed=args.seed,
@@ -72,7 +75,14 @@ def main(argv=None) -> None:
                 cwt_specs[var] = item[f"variances_{var}_spectrogram"]
             elif level == "frame":
                 variances[var] = item[f"variances_{var}"]
-        priors = {v: float(item[f"priors_{v}"]) for v in args.priors
+            else:
+                # phone-level: expand to the frame grid by durations so
+                # the curve still overlays the mel
+                variances[var] = np.repeat(
+                    np.asarray(item[f"variances_{var}"]),
+                    np.asarray(item["duration"]),
+                )
+        priors = {v: float(item[f"priors_{v}"]) for v in prior_names
                   if f"priors_{v}" in item}
         prior_stats = {v: ds.stats.get(f"priors_{v}", {})
                        for v in priors}

@@ -33,6 +33,7 @@ generate CLI accepts the directory via ``--hifigan_checkpoint``.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 from pathlib import Path
 from typing import List, NamedTuple
 
@@ -184,14 +185,9 @@ def main(argv=None) -> None:
 
     start_step = 0
     if args.from_torch_hifigan:
-        import torch
-
-        state = torch.load(args.from_torch_hifigan, map_location="cpu")
-        if "generator" in state:
-            state = state["generator"]
-        state = {k: v.numpy() for k, v in state.items()}
         trainer.gen_params = jax.tree_util.tree_map(
-            jnp.asarray, hg.convert_torch_state_dict(state, gen_cfg)
+            jnp.asarray, hg.load_torch_generator(args.from_torch_hifigan,
+                                                 gen_cfg)
         )
         print(f"warm-started generator from {args.from_torch_hifigan}")
     elif args.from_checkpoint:
@@ -212,9 +208,11 @@ def main(argv=None) -> None:
         start_step = int(tree["step"])
         print(f"resumed from {args.from_checkpoint} at step {start_step}")
 
+    # fold the resume step into the sampler seed so a resumed run draws a
+    # fresh continuation of the segment stream instead of replaying it
     sampler = SegmentSampler(Path(args.train_target_path),
                              audio_cfg.sampling_rate, args.segment_size,
-                             seed=args.seed)
+                             seed=args.seed + start_step)
     print(f"{len(sampler.paths)} wav files", flush=True)
 
     seg_mel = args.segment_size // gen_cfg.hop_length
@@ -235,16 +233,16 @@ def main(argv=None) -> None:
     import time
 
     t_last = time.perf_counter()
+    last_log_step = start_step
     for step in range(start_step, args.max_steps):
         wav = jnp.asarray(sampler.batch(args.batch_size))
         mel = wav_to_mel(wav)
         metrics = trainer.train_step(mel, wav)
         if step % args.log_every == 0 or step == args.max_steps - 1:
             now = time.perf_counter()
-            metrics["steps_per_s"] = (
-                args.log_every / (now - t_last) if step else 0.0
-            )
-            t_last = now
+            done = step - last_log_step
+            metrics["steps_per_s"] = done / (now - t_last) if done else 0.0
+            t_last, last_log_step = now, step
             logger.log(step, {f"train/{k}": v for k, v in metrics.items()})
         if (step and step % args.checkpoint_every == 0) or (
             step == args.max_steps - 1
@@ -258,7 +256,11 @@ def main(argv=None) -> None:
                 },
                 step=np.asarray(step + 1, np.int32),
             )
-            ckptr.save(step + 1, state)
+            # the generator architecture rides in the sidecar so the
+            # generate CLI can rebuild the right module from the
+            # directory alone
+            ckptr.save(step + 1, state,
+                       sidecar={"hifigan_config": dataclasses.asdict(gen_cfg)})
             print(f"checkpointed step {step + 1} -> {args.checkpoint_dir}",
                   flush=True)
     logger.close()

@@ -559,8 +559,12 @@ class TTSDataset:
         here only derived metadata is cached, never code objects)."""
         import dataclasses
 
+        cfg_dict = dataclasses.asdict(self.cfg)
+        # machine-dependent performance knobs must not invalidate the
+        # cache — they cannot change the derived data
+        cfg_dict.pop("scan_workers", None)
         h = hashlib.md5()
-        h.update(json.dumps(dataclasses.asdict(self.cfg), sort_keys=True,
+        h.update(json.dumps(cfg_dict, sort_keys=True,
                             default=str).encode())
         for e in sorted(self.entries, key=lambda e: e.utt_id):
             h.update(e.utt_id.encode())

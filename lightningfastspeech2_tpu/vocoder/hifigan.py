@@ -436,6 +436,25 @@ def _torch_conv_to_flax(w: np.ndarray, transpose: bool) -> np.ndarray:
     return np.transpose(w, (2, 1, 0))
 
 
+def load_torch_generator(
+    path, cfg: HifiGanConfig = HifiGanConfig()
+) -> Dict[str, Any]:
+    """Load a torch HiFi-GAN generator checkpoint from disk (the released
+    ``generator_universal.pth.tar`` layout, optionally nested under a
+    'generator' key) and convert it to this module's params."""
+    import torch
+
+    state = torch.load(path, map_location="cpu")
+    if "generator" in state:
+        state = state["generator"]
+    state = {k: v.numpy() for k, v in state.items()}
+    import jax
+
+    return jax.tree_util.tree_map(
+        np.asarray, convert_torch_state_dict(state, cfg)
+    )
+
+
 def convert_torch_state_dict(
     state: Dict[str, np.ndarray], cfg: HifiGanConfig = HifiGanConfig()
 ) -> Dict[str, Any]:

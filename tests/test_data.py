@@ -184,3 +184,14 @@ def test_parallel_scan_matches_serial(tmp_path):
         assert a.phones == b.phones and a.text == b.text
         np.testing.assert_array_equal(a.durations, b.durations)
         assert (a.start, a.end, a.audio_path) == (b.start, b.end, b.audio_path)
+
+
+def test_cache_key_ignores_scan_workers(tmp_path):
+    from dataclasses import replace
+
+    from lightningfastspeech2_tpu.data.dataset import DataConfig, TTSDataset
+
+    root = make_corpus(tmp_path / "corpus", n_speakers=1, n_utts=3, seed=11)
+    ds1 = TTSDataset(root=root, cfg=DataConfig(stat_entries=0, scan_workers=0))
+    ds2 = TTSDataset(root=root, cfg=DataConfig(stat_entries=0, scan_workers=8))
+    assert ds1.cache_key() == ds2.cache_key()

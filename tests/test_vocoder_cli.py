@@ -72,16 +72,24 @@ def test_train_vocoder_cli_and_resume(wav_corpus, tmp_path):
     steps = [l["step"] for l in lines]
     assert 4 in steps and steps.count(0) == 1
 
-    # the saved generator serves: restore the tree and vocode a mel
+    # the saved generator serves: rebuild the architecture from the
+    # checkpoint sidecar alone (what generate --hifigan_checkpoint does)
     from lightningfastspeech2_tpu.core.checkpoint import Checkpointer
     from lightningfastspeech2_tpu.vocoder import hifigan as hg
 
-    tree, _, _ = Checkpointer(ckpt).restore()
+    tree, _, sidecar = Checkpointer(ckpt).restore()
+    gc = sidecar["hifigan_config"]
     gen_cfg = hg.HifiGanConfig(
-        upsample_rates=(8, 2), upsample_kernel_sizes=(16, 4),
-        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
-        resblock_dilation_sizes=((1, 3, 5),),
+        upsample_rates=tuple(gc["upsample_rates"]),
+        upsample_kernel_sizes=tuple(gc["upsample_kernel_sizes"]),
+        upsample_initial_channel=gc["upsample_initial_channel"],
+        resblock_kernel_sizes=tuple(gc["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in gc["resblock_dilation_sizes"]
+        ),
     )
+    assert gen_cfg.upsample_rates == (8, 2)
+    assert gen_cfg.upsample_initial_channel == 16
     gen = hg.Generator(gen_cfg)
     mel = jnp.asarray(
         np.random.default_rng(1).standard_normal((1, 32, 80)), jnp.float32
