@@ -31,10 +31,14 @@ def _flash_ok(T: int, head_dim: int, deterministic: bool) -> bool:
 
     Measured on v5e at the flagship shapes (B=8, T=2048, d=128): the
     kernel cuts the TRAIN step 13% (the backward avoids the (B,h,T,T)
-    HBM round-trips), but the deterministic forward is ~7% slower in-model
-    (XLA fuses the einsum chain with its neighbors better than the extra
-    q/kT layout transposes cost), and short sequences (encoder, T=256)
-    lose outright to the fused softmax. So: training mode, long sequences
+    HBM round-trips), but the deterministic forward gains nothing — a
+    tunnel-free re-measurement (scripts/profile_flash_fwd.py, single
+    on-chip lax.scan per variant) puts flash-on at 9.013 ms/fwd vs
+    8.999 ms flash-off, i.e. a wash within 0.2%: XLA's
+    fused einsum+softmax already hides the scores' HBM traffic behind
+    the conv FFN at these shapes, and the kernel's q/kT layout
+    transposes eat the savings. Short sequences (encoder, T=256) lose
+    outright to the fused softmax. So: training mode, long sequences
     only."""
     if deterministic or T < 1024 or T % 128 != 0 or head_dim % 128 != 0:
         return False
