@@ -155,6 +155,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard optimizer moments over the data mesh axis")
     # io
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--async_checkpoints", type=str2bool, default=True,
+                   help="write checkpoints on a background thread (orbax "
+                        "async): the train loop only blocks for the "
+                        "device->host copy, not the disk write")
     p.add_argument("--cache_path", type=str, default=None,
                    help="dataset scan/stats cache directory (reference "
                         "--cache_path analog)")
@@ -364,7 +368,7 @@ def main(argv=None):
 
     logger = MetricsLogger(args.log_dir, use_wandb=args.wandb_mode == "online",
                            wandb_project=args.wandb_project)
-    ckpt = Checkpointer(args.checkpoint_dir)
+    ckpt = Checkpointer(args.checkpoint_dir, use_async=args.async_checkpoints)
 
     sidecar = {
         "stats": dataset.stats,
@@ -515,6 +519,7 @@ def main(argv=None):
             with open(Path(args.checkpoint_dir) / "prior_gmms.pkl", "wb") as fh:
                 pickle.dump(gmms, fh)
             print(f"fitted prior GMMs for {len(gmms)} speakers")
+    ckpt.wait_until_finished()  # commit any in-flight async write
     logger.close()
     return result
 

@@ -226,7 +226,9 @@ def main(argv=None) -> None:
             :, :seg_mel
         ]
 
-    ckptr = Checkpointer(args.checkpoint_dir)
+    # async: the GAN step never stalls for the disk write (the save only
+    # blocks for the device->host copy; ``latest`` advances on commit)
+    ckptr = Checkpointer(args.checkpoint_dir, use_async=True)
     logger = MetricsLogger(args.log_dir, use_wandb=args.wandb_mode == "online",
                            wandb_project=args.wandb_project)
 
@@ -263,6 +265,7 @@ def main(argv=None) -> None:
                        sidecar={"hifigan_config": dataclasses.asdict(gen_cfg)})
             print(f"checkpointed step {step + 1} -> {args.checkpoint_dir}",
                   flush=True)
+    ckptr.wait_until_finished()  # commit any in-flight async write
     logger.close()
 
 

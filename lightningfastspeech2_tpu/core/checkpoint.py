@@ -7,6 +7,12 @@ Here (SURVEY.md §5.4): orbax for the jax pytrees {params, opt_state, step}
 per-step directories, ``latest`` resolution, and a warm-start mode that
 drops shape-mismatched tensors like the reference's ``strict=False`` load
 (``fastspeech2.py:599-620``).
+
+``use_async=True`` writes on a background thread (orbax AsyncCheckpointer):
+``save()`` blocks only for the device->host copy, the ``latest`` marker is
+published in ``wait_until_finished()`` after the write committed, and
+``restore``/``latest_path`` wait implicitly — so a crash mid-write can
+never leave ``latest`` pointing at a torn checkpoint.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ from lightningfastspeech2_tpu.core import config as C
 
 
 class Checkpointer:
-    def __init__(self, directory):
+    def __init__(self, directory, use_async: bool = False):
         # orbax/tensorstore requires absolute paths (a relative
         # --checkpoint_dir crashes at the first save otherwise)
         self.dir = Path(directory).resolve()
@@ -30,7 +36,20 @@ class Checkpointer:
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self._async = bool(use_async)
+        # async mode: orbax copies device->host synchronously inside
+        # save() (so donated buffers may be reused immediately) and
+        # serializes to disk on a background thread — at 76M (~1 GB with
+        # Adam moments) the training loop no longer stalls for the write.
+        # The ``latest`` marker is only advanced in wait_until_finished()
+        # after the write committed, so a crash mid-write leaves ``latest``
+        # pointing at the previous durable checkpoint.
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if self._async
+            else ocp.PyTreeCheckpointer()
+        )
+        self._pending: Optional[str] = None
 
     # ------------------------------------------------------------------ save
     def save(
@@ -43,6 +62,9 @@ class Checkpointer:
         """sidecar may contain: stats (dict), phone2id (dict),
         speaker2id (dict), speaker2dvector {name: np.ndarray},
         speaker2priors {name: {prior: np.ndarray}}."""
+        # one in-flight write at a time: finalize the previous async save
+        # (and publish its ``latest`` marker) before starting this one
+        self.wait_until_finished()
         path = self.dir / f"step_{step:08d}"
         if path.exists():
             shutil.rmtree(path)
@@ -72,11 +94,25 @@ class Checkpointer:
             (path / "sidecar.json").write_text(json.dumps(json_side))
             if np_side:
                 np.savez(path / "sidecar.npz", **np_side)
-        (self.dir / "latest").write_text(path.name)
+        if self._async:
+            self._pending = path.name
+        else:
+            (self.dir / "latest").write_text(path.name)
         return path
+
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async write committed, then publish
+        its ``latest`` marker. No-op for sync checkpointers."""
+        if not self._async:
+            return
+        self._ckptr.wait_until_finished()
+        if self._pending is not None:
+            (self.dir / "latest").write_text(self._pending)
+            self._pending = None
 
     # --------------------------------------------------------------- restore
     def latest_path(self) -> Optional[Path]:
+        self.wait_until_finished()
         marker = self.dir / "latest"
         if not marker.exists():
             return None
@@ -86,6 +122,7 @@ class Checkpointer:
     def restore(self, path: Optional[Path] = None, template: Any = None):
         """Returns (tree, cfg, sidecar). ``template`` (a matching pytree of
         arrays) restores with correct dtypes/shardings when given."""
+        self.wait_until_finished()
         path = Path(path) if path else self.latest_path()
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")
