@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from lightningfastspeech2_tpu.core.config import StackConfig
-from lightningfastspeech2_tpu.ops.depthwise import DepthwiseConv1d, GroupedConv1d
+from lightningfastspeech2_tpu.ops.depthwise import (
+    DepthwiseConv1d,
+    GroupedConv1d,
+    depthwise_conv1d,
+    grouped_conv1d,
+)
 
 
 def _flash_ok(T: int, head_dim: int, deterministic: bool) -> bool:
@@ -45,6 +50,120 @@ def _flash_ok(T: int, head_dim: int, deterministic: bool) -> bool:
     from lightningfastspeech2_tpu.ops.kernel_gate import pallas_enabled
 
     return pallas_enabled()
+
+
+def _fused_ffn_ok(hidden: int, filter_size: int) -> bool:
+    """Static gate for the fused FFN-half kernel (ops/pallas_ffn.py):
+    backend supports Mosaic and the matmul dims fill 128-lane registers
+    (interpret mode — CPU tests — accepts any dims). Opt-out via
+    ``LFS2_FUSED_FFN=0``."""
+    import os
+
+    if os.environ.get("LFS2_FUSED_FFN", "1").lower() in ("0", "false", "off"):
+        return False
+    from lightningfastspeech2_tpu.ops.kernel_gate import (
+        pallas_enabled,
+        pallas_interpret,
+    )
+
+    if not pallas_enabled():
+        return False
+    if pallas_interpret():
+        return True
+    return hidden % 128 == 0 and filter_size % 128 == 0
+
+
+def layer_norm_fn(x, scale, bias, dtype, eps: float = 1e-5):
+    """Functional LayerNorm with flax ``nn.LayerNorm`` numerics exactly:
+    f32 fast-variance stats, ``(x - mean) * (rsqrt(var+eps) * scale) +
+    bias`` in f32, cast to ``dtype``. Used so FFTBlock can own the norm
+    *parameters* (declared via ``_LayerNormParams``) while the compute
+    routes through either this or the fused Pallas kernel."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = xf - mean
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    y = y * mul + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+class _LayerNormParams(nn.Module):
+    """Param holder matching ``nn.LayerNorm``'s tree exactly
+    (scale ones, bias zeros at the same path)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _DepthwiseParams(nn.Module):
+    """Param holder matching ops.depthwise.DepthwiseConv1d's tree."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (self.kernel_size, 1, self.features),
+        ).reshape(self.kernel_size, self.features)
+        b = self.param(
+            "bias",
+            nn.initializers.uniform(scale=(1 / self.kernel_size) ** 0.5),
+            (self.features,),
+        )
+        return w, b
+
+
+class _PointConvParams(nn.Module):
+    """Param holder matching ``nn.Conv(features, (1,))``'s tree
+    (kernel (1, in, out) lecun_normal, bias zeros)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
+class _GroupedParams(nn.Module):
+    """Param holder matching ops.depthwise.GroupedConv1d's tree."""
+
+    features: int
+    groups: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        ci = self.in_features // self.groups
+        co = self.features // self.groups
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (self.kernel_size, self.groups, ci, co),
+        )
+        b = self.param(
+            "bias",
+            nn.initializers.uniform(scale=(1 / (ci * self.kernel_size)) ** 0.5),
+            (self.features,),
+        )
+        return w, b
 
 
 class PositionalEncoding(nn.Module):
@@ -150,7 +269,12 @@ class ConvFFN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: Optional[jnp.ndarray],
+        deterministic: bool = True,
+        params_only: bool = False,
+    ):
         # grouped/depthwise convs use the shift-multiply formulation from
         # ops/depthwise.py — XLA's feature_group_count lowering takes >300 s
         # to compile on TPU for these shapes
@@ -162,18 +286,32 @@ class ConvFFN(nn.Module):
             name=name,
         )
         if self.depthwise:
-            h = DepthwiseConv1d(self.hidden, self.kernel1, dtype=self.dtype,
-                                name="conv1_depth")(x)
-            h = conv(self.filter_size, 1, "conv1_point")(h)
+            # params are declared through holder modules (identical tree to
+            # the former DepthwiseConv1d/nn.Conv/GroupedConv1d submodules)
+            # so FFTBlock's fused Pallas path can consume the raw arrays
+            wd, bd = _DepthwiseParams(self.hidden, self.kernel1,
+                                      name="conv1_depth")()
+            w1, b1 = _PointConvParams(self.hidden, self.filter_size,
+                                      name="conv1_point")()
+            wg, bg = _GroupedParams(self.filter_size, self.hidden,
+                                    self.kernel2, self.filter_size,
+                                    name="conv2_group")()
+            w2, b2 = _PointConvParams(self.filter_size, self.hidden,
+                                      name="conv2_point")()
+            if params_only:
+                return (wd, bd, w1, b1, wg, bg, w2, b2)
+            dt = self.dtype
+            h = depthwise_conv1d(x.astype(dt), wd.astype(dt), bd.astype(dt))
+            h = h @ w1[0].astype(dt) + b1.astype(dt)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = grouped_conv1d(h, wg.astype(dt), bg.astype(dt))
+            h = h @ w2[0].astype(dt) + b2.astype(dt)
         else:
+            assert not params_only, "fused path requires depthwise mode"
             h = conv(self.filter_size, self.kernel1, "conv1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        if self.depthwise:
-            h = GroupedConv1d(self.filter_size, self.hidden, self.kernel2,
-                              dtype=self.dtype, name="conv2_group")(h)
-            h = conv(self.hidden, 1, "conv2_point")(h)
-        else:
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             h = conv(self.hidden, self.kernel2, "conv2")(h)
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
@@ -229,9 +367,16 @@ class FFTBlock(nn.Module):
             x, mask, deterministic
         )
         sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + sa)
+        # norm params are owned here (same tree as the former nn.LayerNorm
+        # submodules) so the whole FFN half — LN1 -> ConvFFN -> residual ->
+        # LN2 — can run as ONE Pallas kernel on deterministic forwards
+        # (ops/pallas_ffn.py; training keeps the XLA path: the kernel has
+        # no VJP and the train step's win already comes from flash
+        # attention's backward)
+        g1, be1 = _LayerNormParams(self.hidden, name="norm1")()
+        g2, be2 = _LayerNormParams(self.hidden, name="norm2")()
         if self.conformer:
-            ff = ConvFFN(
+            ffn = ConvFFN(
                 self.hidden,
                 self.filter_size,
                 self.kernel1,
@@ -239,15 +384,36 @@ class FFTBlock(nn.Module):
                 self.depthwise,
                 self.dropout,
                 self.dtype,
-            )(x, deterministic)
+            )
+            if (
+                deterministic
+                and self.depthwise
+                and self.kernel2 == 1
+                and _fused_ffn_ok(self.hidden, self.filter_size)
+            ):
+                from lightningfastspeech2_tpu.ops.kernel_gate import (
+                    pallas_interpret,
+                )
+                from lightningfastspeech2_tpu.ops.pallas_ffn import (
+                    fused_ffn_ln,
+                )
+
+                p = ffn(None, deterministic, params_only=True)
+                return fused_ffn_ln(
+                    x + sa, *p, g1, be1, g2, be2,
+                    interpret=pallas_interpret(),
+                )
+            x = layer_norm_fn(x + sa, g1, be1, self.dtype)
+            ff = ffn(x, deterministic)
         else:
+            x = layer_norm_fn(x + sa, g1, be1, self.dtype)
             ff = LinearFFN(
                 self.hidden,
                 self.dim_feedforward or self.filter_size,
                 self.dropout,
                 self.dtype,
             )(x, deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
+        return layer_norm_fn(x + ff, g2, be2, self.dtype)
 
 
 class FFTStack(nn.Module):

@@ -16,7 +16,6 @@ Env override ``LFS2_USE_PALLAS``:
 
 from __future__ import annotations
 
-import functools
 import os
 
 
@@ -24,7 +23,6 @@ def _mode() -> str:
     return os.environ.get("LFS2_USE_PALLAS", "auto").lower()
 
 
-@functools.lru_cache(maxsize=None)
 def pallas_enabled() -> bool:
     mode = _mode()
     if mode in ("0", "false", "off"):
@@ -39,7 +37,6 @@ def pallas_enabled() -> bool:
     return _probe()
 
 
-@functools.lru_cache(maxsize=None)
 def pallas_interpret() -> bool:
     """True when kernels should run in interpret mode (forced-on CPU)."""
     if not pallas_enabled():
@@ -49,7 +46,26 @@ def pallas_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+_probe_result: bool | None = None
+_probe_failures = 0
+
+
 def _probe() -> bool:
+    """Probe the live backend with a tiny kernel, ONCE.
+
+    The gate is usually first consulted while TRACING a jitted model
+    (flax modules decide their compute path at trace time), so the probe
+    runs under ``jax.ensure_compile_time_eval()`` — without it the eager
+    dispatch raises inside the trace, and an lru_cache here used to
+    poison the answer to False for the whole process, silently disabling
+    every Pallas kernel in jit-first programs (found: round-2 bench
+    forwards never ran the fused kernels they claimed to gate in). A
+    failed probe is only cached after several attempts, so one bad
+    context can't stick."""
+    global _probe_result, _probe_failures
+    if _probe_result is not None:
+        return _probe_result
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -59,16 +75,23 @@ def _probe() -> bool:
         o_ref[...] = x_ref[...] * 2.0
 
     try:
-        x = jnp.ones((8, 128), jnp.float32)
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
-        )(x)
-        return bool(np.asarray(out)[0, 0] == 2.0)
+        with jax.ensure_compile_time_eval():
+            x = jnp.ones((8, 128), jnp.float32)
+            out = pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
+            )(x)
+            ok = bool(np.asarray(out)[0, 0] == 2.0)
+        _probe_result = ok
+        return ok
     except Exception:
+        _probe_failures += 1
+        if _probe_failures >= 5:
+            _probe_result = False
         return False
 
 
 def reset_cache() -> None:
     """Re-read the env var / re-probe (tests only)."""
-    pallas_enabled.cache_clear()
-    pallas_interpret.cache_clear()
+    global _probe_result, _probe_failures
+    _probe_result = None
+    _probe_failures = 0

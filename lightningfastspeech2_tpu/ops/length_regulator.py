@@ -41,7 +41,20 @@ def regulate(
 
     Works for feature vectors (B, P, H) and scalar sequences (B, P).
     """
-    if pallas_enabled() and x.ndim == 3 and max_frames % 256 == 0:
+    # Opt-in only: with the kernel gate fixed (it used to be silently
+    # poisoned off inside jit traces), a real A/B at flagship shapes
+    # (B=8, P=256, T=2048, H=256) shows the XLA compare-and-sum path is
+    # faster than the one-hot-MXU kernel — the (T, P) compare matrix is
+    # one fused VPU reduction while the kernel pays per-tile one-hot
+    # matmuls. Keep the kernel for parity/portability behind
+    # LFS2_PALLAS_LR=1.
+    import os
+
+    lr_opt_in = os.environ.get("LFS2_PALLAS_LR", "0").lower() in (
+        "1", "true", "on",
+    )
+    if (lr_opt_in and pallas_enabled() and x.ndim == 3
+            and max_frames % 256 == 0):
         from lightningfastspeech2_tpu.ops.kernel_gate import pallas_interpret
         from lightningfastspeech2_tpu.ops.pallas_length_regulator import (
             regulate_pallas,
