@@ -11,20 +11,64 @@ frames = 190.5 audio-seconds per step at hop 256 / 22.05 kHz):
      frame utilization) — mel-generation compute ceiling,
   2. inference-mode forward: predicted durations -> rounding + rescue ->
      length-regulate (the real synthesis acoustic path),
-  3. HiFi-GAN V1 mel->wav vocoder throughput,
+  3. HiFi-GAN V1 mel->wav vocoder throughput (+bf16, +fused Pallas),
+  3b. FastDiff N=4 mel->wav throughput (+bf16),
   4. training step (fwd+bwd+AdamW) time.
+
+FAIL-SOFT CONTRACT (round-3 hardening; the round-2 bench lost all its
+already-measured workloads when the training step hit a Pallas VMEM
+overflow): every workload runs under its own try/except; a failure is
+recorded in ``extra["<name>_error"]`` and the workload is retried ONCE
+with all Pallas kernels disabled (LFS2_USE_PALLAS=0 etc. — the gates
+read the env at trace time and each retry rebuilds its jitted closures,
+so the flip takes effect).  The final JSON line ALWAYS prints, even if
+setup itself dies.
 
 Prints ONE JSON line; the extra workloads ride in the same object under
 "extra" so the driver's single-line parser still sees metric/value/unit/
 vs_baseline.
 """
 
+import contextlib
 import json
 import os
 import sys
 import time
+import traceback
 
 BASELINE_AUDIO_S_PER_S = 22527.75  # round-1 record (BENCH_r01.json)
+
+PALLAS_ENV_FLAGS = ("LFS2_USE_PALLAS", "LFS2_FUSED_FFN", "LFS2_PALLAS_LR")
+
+
+def _errstr(e: BaseException) -> str:
+    tb = traceback.format_exception_only(type(e), e)
+    return ("".join(tb)).strip()[:600]
+
+
+@contextlib.contextmanager
+def _pallas_disabled():
+    """Force every Pallas kernel gate off for the duration of the block.
+
+    All gates (ops/kernel_gate.py, models/layers.py _flash_ok /
+    _fused_ffn_ok, ops/length_regulator.py) read their env var at trace
+    time; combined with fresh jitted closures per retry this reliably
+    routes the retried workload through the XLA fallback paths."""
+    from lightningfastspeech2_tpu.ops import kernel_gate
+
+    saved = {k: os.environ.get(k) for k in PALLAS_ENV_FLAGS}
+    for k in PALLAS_ENV_FLAGS:
+        os.environ[k] = "0"
+    kernel_gate.reset_cache()
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        kernel_gate.reset_cache()
 
 
 def _chain_run(fn, state0, iters):
@@ -46,17 +90,9 @@ def _rate(fn, state0, iters, audio_seconds):
     return audio_seconds / dt, dt
 
 
-def main():
+def _setup():
+    """Shared model/params/batch for workloads 1/2/4. May raise."""
     import jax
-
-    from lightningfastspeech2_tpu.core.compile_cache import (
-        enable_fast_prng,
-        enable_persistent_cache,
-    )
-
-    enable_persistent_cache()
-    enable_fast_prng()
-
     import jax.numpy as jnp
     import numpy as np
 
@@ -95,10 +131,21 @@ def main():
     )
 
     hop, sr = mcfg.audio.hop_length, mcfg.audio.sampling_rate
-    audio_seconds = B * T * hop / sr
-    extra = {}
+    return dict(
+        cfg=cfg, mcfg=mcfg, model=model, batch=batch, params=params,
+        B=B, P=P, T=T, iters=iters, hop=hop, sr=sr,
+        audio_seconds=B * T * hop / sr,
+    )
 
-    # ---- 1. headline: teacher-forced mel synthesis ----------------------
+
+# ---- 1. headline: teacher-forced mel synthesis --------------------------
+def _wl_headline(S, extra):
+    import jax
+    import jax.numpy as jnp
+
+    model, params, batch = S["model"], S["params"], S["batch"]
+    iters, audio_seconds = S["iters"], S["audio_seconds"]
+
     @jax.jit
     def synthesize(params, batch, carry):
         # epsilon-scaled carry creates a data dependency between steps; it
@@ -141,15 +188,28 @@ def main():
     extra["device_audio_s_per_s"] = round(audio_seconds / dt_scan, 2)
 
     # carry-chain sanity: the on-chip scan is ground truth (one program,
-    # nothing to overlap). If XLA had folded the eps-carry away, the host
-    # loop's dispatches would pipeline and beat the physical device time.
+    # nothing to overlap). If the host loop's dispatches pipelined past
+    # the physical device time, its number is bogus — fall back to the
+    # scan-derived rate instead of crashing the bench.
     extra["chain_ratio_fwd"] = round(dt_tf / dt_scan, 3)
-    assert dt_tf > 0.85 * dt_scan, (
-        f"headline carry chain did not serialize: host-loop {dt_tf*1e3:.2f}"
-        f" ms/step < device scan {dt_scan*1e3:.2f} ms/step"
-    )
+    if dt_tf <= 0.85 * dt_scan:
+        extra["headline_chain_warning"] = (
+            f"host-loop {dt_tf*1e3:.2f} ms/step < device scan "
+            f"{dt_scan*1e3:.2f} ms/step; using device-scan rate"
+        )
+        headline = audio_seconds / dt_scan
+    return headline
 
-    # ---- 2. inference-mode forward (predicted durations) ----------------
+
+# ---- 2. inference-mode forward (predicted durations) --------------------
+def _wl_inference(S, extra):
+    import jax
+    import jax.numpy as jnp
+
+    model, params, batch = S["model"], S["params"], S["batch"]
+    iters, audio_seconds = S["iters"], S["audio_seconds"]
+    hop, sr = S["hop"], S["sr"]
+
     @jax.jit
     def infer(params, batch, carry):
         b = dict(batch)
@@ -175,9 +235,16 @@ def main():
         audio_seconds / dt_inf, 2
     )
 
-    # ---- 3. HiFi-GAN V1 mel->wav throughput ------------------------------
+
+# ---- 3. HiFi-GAN V1 mel->wav throughput ----------------------------------
+def _wl_hifigan(S, extra):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from lightningfastspeech2_tpu.vocoder import hifigan as hg
 
+    hop, sr, iters = S["hop"], S["sr"], S["iters"]
     voc = hg.Synthesiser(hg.HifiGanConfig(), rng=jax.random.PRNGKey(3))
     Tv = int(os.environ.get("BENCH_VOC_FRAMES", 1024))
     Bv = int(os.environ.get("BENCH_VOC_BATCH", 4))
@@ -218,35 +285,48 @@ def main():
     extra["hifigan_vocoder_bf16_audio_s_per_s"] = round(voc16_rate, 2)
 
     # bf16 + fused Pallas resblock kernel (the production bf16 serving
-    # path: Synthesiser(dtype=bf16) picks it automatically on TPU)
-    if jax.default_backend() != "cpu":
-        @jax.jit
-        def vocode_fused(params, mel, carry):
-            return hg.generator_apply_fused(
-                params, mel + carry * 1e-30, hg.HifiGanConfig(),
-                dtype=jnp.bfloat16,
+    # path: Synthesiser(dtype=bf16) picks it automatically on TPU) —
+    # guarded separately so a Mosaic failure doesn't void the XLA rows
+    if jax.default_backend() != "cpu" and os.environ.get(
+        "LFS2_USE_PALLAS", "auto"
+    ).lower() not in ("0", "false", "off"):
+        try:
+            @jax.jit
+            def vocode_fused(params, mel, carry):
+                return hg.generator_apply_fused(
+                    params, mel + carry * 1e-30, hg.HifiGanConfig(),
+                    dtype=jnp.bfloat16,
+                )
+
+            def voc_fused_step(carry):
+                wav = vocode_fused(voc.params, mel_voc, carry)
+                return wav[0, 0].astype(jnp.float32) * 1e-30
+
+            _ = vocode_fused(voc.params, mel_voc, jnp.zeros(()))
+            vocf_rate, dtf = _rate(
+                voc_fused_step, jnp.zeros(()), voc_iters, voc_audio_s
             )
+            extra["hifigan_vocoder_fused_audio_s_per_s"] = round(vocf_rate, 2)
+            extra["hifigan_vocoder_fused_step_ms"] = round(dtf * 1e3, 3)
+        except Exception as e:  # pylint: disable=broad-except
+            extra["hifigan_fused_error"] = _errstr(e)
 
-        def voc_fused_step(carry):
-            wav = vocode_fused(voc.params, mel_voc, carry)
-            return wav[0, 0].astype(jnp.float32) * 1e-30
 
-        _ = vocode_fused(voc.params, mel_voc, jnp.zeros(()))
-        vocf_rate, dtf = _rate(
-            voc_fused_step, jnp.zeros(()), voc_iters, voc_audio_s
-        )
-        extra["hifigan_vocoder_fused_audio_s_per_s"] = round(vocf_rate, 2)
-        extra["hifigan_vocoder_fused_step_ms"] = round(dtf * 1e3, 3)
-
-    # ---- 3b. FastDiff N=4 mel->wav throughput ----------------------------
+# ---- 3b. FastDiff N=4 mel->wav throughput --------------------------------
+def _wl_fastdiff(S, extra):
     # the reference's quality vocoder (generate.py --use_fastdiff,
     # FastDiff.py:149-195); N=4 is its canonical serving schedule
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from lightningfastspeech2_tpu.vocoder import diffusion as fd_diff
     from lightningfastspeech2_tpu.vocoder.fastdiff import (
         FastDiffConfig,
         FastDiffVocoder,
     )
 
+    sr, iters = S["sr"], S["iters"]
     fd = FastDiffVocoder(FastDiffConfig(), rng=jax.random.PRNGKey(7))
     Tf = int(os.environ.get("BENCH_FASTDIFF_FRAMES", 256))
     Bf = int(os.environ.get("BENCH_FASTDIFF_BATCH", 4))
@@ -297,11 +377,22 @@ def main():
     fd16_rate, _dt = _rate(fd16_step, jnp.zeros(()), fd_iters, fd_audio_s)
     extra["fastdiff_vocoder_n4_bf16_audio_s_per_s"] = round(fd16_rate, 2)
 
-    # ---- 4. training step time ------------------------------------------
+
+# ---- 4. training step time ------------------------------------------------
+def _wl_train(S, extra):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lightningfastspeech2_tpu.core import config as C
     from lightningfastspeech2_tpu.train.step import (
+        _loss_fn,
         create_train_state,
         make_train_step,
     )
+
+    model, batch, cfg = S["model"], S["batch"], S["cfg"]
+    P, T, iters, audio_seconds = S["P"], S["T"], S["iters"], S["audio_seconds"]
 
     tbatch = dict(batch)
     tcfg = C.replace(cfg, **{"model.max_phones": P, "model.max_frames": T})
@@ -310,11 +401,12 @@ def main():
     )
     step = make_train_step(model, tcfg, optimizer, donate=False)
 
+    box = [state]
+
     def train_step(carry):
-        nonlocal state
         b = dict(tbatch)
         b["speaker"] = tbatch["speaker"] + carry * 1e-30
-        state, metrics = step(state, b, jax.random.PRNGKey(5))
+        box[0], metrics = step(box[0], b, jax.random.PRNGKey(5))
         return metrics["total"].astype(jnp.float32) * 1e-30
 
     _ = train_step(jnp.zeros(()))  # compile
@@ -324,10 +416,6 @@ def main():
     extra["train_audio_s_per_s"] = round(train_rate, 2)
 
     # device-side train scan (true on-chip fwd+bwd+AdamW time)
-    import optax
-
-    from lightningfastspeech2_tpu.train.step import _loss_fn
-
     n_scan = max(iters // 2, 10)
 
     @jax.jit
@@ -352,11 +440,64 @@ def main():
     dt_tscan = (time.perf_counter() - t0) / n_scan
     extra["device_train_step_ms"] = round(dt_tscan * 1e3, 3)
     extra["chain_ratio_train"] = round(dt_train / dt_tscan, 3)
-    assert dt_train > 0.85 * dt_tscan, (
-        f"train carry chain did not serialize: host-loop {dt_train*1e3:.2f}"
-        f" ms/step < device scan {dt_tscan*1e3:.2f} ms/step"
-    )
+    if dt_train <= 0.85 * dt_tscan:
+        extra["train_chain_warning"] = (
+            f"host-loop {dt_train*1e3:.2f} ms/step < device scan "
+            f"{dt_tscan*1e3:.2f} ms/step; device-scan time is authoritative"
+        )
 
+
+def _run_workload(name, fn, S, extra):
+    """Run one workload fail-soft; retry once with Pallas disabled."""
+    try:
+        return fn(S, extra)
+    except Exception as e:  # pylint: disable=broad-except
+        extra[f"{name}_error"] = _errstr(e)
+        print(f"[bench] workload {name} failed ({type(e).__name__}); "
+              f"retrying with Pallas kernels disabled", file=sys.stderr)
+    try:
+        with _pallas_disabled():
+            out = fn(S, extra)
+        extra[f"{name}_pallas_fallback"] = True
+        return out
+    except Exception as e:  # pylint: disable=broad-except
+        extra[f"{name}_fallback_error"] = _errstr(e)
+        return None
+
+
+def main():
+    extra = {}
+    headline = None
+    try:
+        from lightningfastspeech2_tpu.core.compile_cache import (
+            enable_fast_prng,
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
+        enable_fast_prng()
+
+        try:
+            S = _setup()
+        except Exception as e:  # pylint: disable=broad-except
+            extra["setup_error"] = _errstr(e)
+            with _pallas_disabled():
+                S = _setup()
+            extra["setup_pallas_fallback"] = True
+
+        headline = _run_workload("headline", _wl_headline, S, extra)
+        _run_workload("inference", _wl_inference, S, extra)
+        _run_workload("hifigan", _wl_hifigan, S, extra)
+        _run_workload("fastdiff", _wl_fastdiff, S, extra)
+        _run_workload("train", _wl_train, S, extra)
+    except Exception as e:  # pylint: disable=broad-except
+        extra["fatal_error"] = _errstr(e)
+        traceback.print_exc(file=sys.stderr)
+
+    if headline is None:
+        # last-resort headline: the device-scan rate if workload 1 got
+        # that far, else 0.0 with the error on record
+        headline = float(extra.get("device_audio_s_per_s", 0.0))
     vs = headline / BASELINE_AUDIO_S_PER_S if BASELINE_AUDIO_S_PER_S else 1.0
     print(
         json.dumps(

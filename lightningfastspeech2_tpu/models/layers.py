@@ -56,7 +56,12 @@ def _fused_ffn_ok(hidden: int, filter_size: int) -> bool:
     """Static gate for the fused FFN-half kernel (ops/pallas_ffn.py):
     backend supports Mosaic and the matmul dims fill 128-lane registers
     (interpret mode — CPU tests — accepts any dims). Opt-out via
-    ``LFS2_FUSED_FFN=0``."""
+    ``LFS2_FUSED_FFN=0``.
+
+    Like every LFS2_* kernel flag this is read at TRACE time and jit
+    caches don't key on env vars: set it before the first trace, or
+    rebuild the jitted closure after flipping it (see
+    ops/kernel_gate.py module docstring)."""
     import os
 
     if os.environ.get("LFS2_FUSED_FFN", "1").lower() in ("0", "false", "off"):

@@ -12,11 +12,22 @@ Env override ``LFS2_USE_PALLAS``:
   - ``1``: force on.  On CPU this switches the kernels to interpret
     mode (slow, for wiring tests).
   - ``0``: force off — always the XLA fallback paths.
+
+NOTE: this flag — like ``LFS2_FUSED_FFN`` and ``LFS2_PALLAS_LR`` — is
+read at TRACE time, and ``jax.jit`` caches do not key on env vars.
+Flipping a flag after a function has compiled silently keeps the old
+path within that compiled function; set the flags before the first
+trace (or rebuild the jitted closure, as bench.py's fail-soft retry
+does). ``reset_cache()`` clears the probe state for tests.
 """
 
 from __future__ import annotations
 
+import logging
 import os
+import threading
+
+_log = logging.getLogger(__name__)
 
 
 def _mode() -> str:
@@ -48,6 +59,21 @@ def pallas_interpret() -> bool:
 
 _probe_result: bool | None = None
 _probe_failures = 0
+_probe_lock = threading.Lock()
+
+
+def _is_backend_failure(e: Exception) -> bool:
+    """Distinguish 'this backend cannot run Mosaic kernels' (cache False
+    immediately) from transient trace-context/dispatch errors (retry a
+    few times before giving up)."""
+    text = f"{type(e).__name__}: {e}".lower()
+    for marker in (
+        "unimplemented", "not supported", "unsupported", "no registered",
+        "mosaic", "unavailable", "does not support",
+    ):
+        if marker in text:
+            return True
+    return False
 
 
 def _probe() -> bool:
@@ -59,11 +85,13 @@ def _probe() -> bool:
     dispatch raises inside the trace, and an lru_cache here used to
     poison the answer to False for the whole process, silently disabling
     every Pallas kernel in jit-first programs (found: round-2 bench
-    forwards never ran the fused kernels they claimed to gate in). A
-    failed probe is only cached after several attempts, so one bad
-    context can't stick."""
+    forwards never ran the fused kernels they claimed to gate in).
+    Backend-capability failures are cached immediately; transient errors
+    only stick after several attempts, so one bad context can't poison
+    the process. State is guarded by a lock — the gate can be consulted
+    from concurrent traces."""
     global _probe_result, _probe_failures
-    if _probe_result is not None:
+    if _probe_result is not None:  # racy fast path, settled value is final
         return _probe_result
 
     import jax
@@ -74,24 +102,37 @@ def _probe() -> bool:
     def k(x_ref, o_ref):
         o_ref[...] = x_ref[...] * 2.0
 
-    try:
-        with jax.ensure_compile_time_eval():
-            x = jnp.ones((8, 128), jnp.float32)
-            out = pl.pallas_call(
-                k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
-            )(x)
-            ok = bool(np.asarray(out)[0, 0] == 2.0)
-        _probe_result = ok
-        return ok
-    except Exception:
-        _probe_failures += 1
-        if _probe_failures >= 5:
-            _probe_result = False
-        return False
+    with _probe_lock:
+        if _probe_result is not None:
+            return _probe_result
+        try:
+            with jax.ensure_compile_time_eval():
+                x = jnp.ones((8, 128), jnp.float32)
+                out = pl.pallas_call(
+                    k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
+                )(x)
+                ok = bool(np.asarray(out)[0, 0] == 2.0)
+            _probe_result = ok
+            if not ok:
+                _log.warning(
+                    "Pallas probe returned wrong value; kernels disabled"
+                )
+            return ok
+        except Exception as e:  # pylint: disable=broad-except
+            _probe_failures += 1
+            if _is_backend_failure(e) or _probe_failures >= 5:
+                _probe_result = False
+                _log.warning(
+                    "Pallas kernels disabled for this backend after %d "
+                    "probe failure(s): %s: %s",
+                    _probe_failures, type(e).__name__, e,
+                )
+            return False
 
 
 def reset_cache() -> None:
-    """Re-read the env var / re-probe (tests only)."""
+    """Re-read the env var / re-probe (tests and bench fallback)."""
     global _probe_result, _probe_failures
-    _probe_result = None
-    _probe_failures = 0
+    with _probe_lock:
+        _probe_result = None
+        _probe_failures = 0

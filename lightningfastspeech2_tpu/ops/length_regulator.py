@@ -47,7 +47,8 @@ def regulate(
     # faster than the one-hot-MXU kernel — the (T, P) compare matrix is
     # one fused VPU reduction while the kernel pays per-tile one-hot
     # matmuls. Keep the kernel for parity/portability behind
-    # LFS2_PALLAS_LR=1.
+    # LFS2_PALLAS_LR=1. Read at TRACE time (jit caches don't key on env
+    # vars): set before the first trace — see ops/kernel_gate.py.
     import os
 
     lr_opt_in = os.environ.get("LFS2_PALLAS_LR", "0").lower() in (

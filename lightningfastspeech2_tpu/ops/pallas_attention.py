@@ -171,11 +171,24 @@ def _bwd_kernel(mask_ref, seed_ref, q_ref, k_ref, kT_ref, vT_ref, do_ref,
 def _pick_q_tile(T: int, cap: int = 1024) -> int:
     # Forward: largest tile wins (fewer programs -> less fixed overhead);
     # the single (Tq, T) f32 score block fits VMEM up to Tq=1024, T=4096.
-    # Backward caps at 256: it keeps THREE (Tq, T) f32 intermediates live
-    # (p, dp, ds) and Tq=1024 blows the 16 MB scoped-vmem budget
-    # (measured: 25.35M requested on v5e at T=2048).
     for t in (1024, 512, 256, 128):
         if t <= cap and T % t == 0:
+            return t
+    raise ValueError(f"sequence length {T} not a multiple of 128")
+
+
+def _pick_bwd_q_tile(T: int) -> int:
+    # The backward keeps THREE (Tq, T) f32 intermediates live at once
+    # (p, dp, ds) plus ~4 MB of (T, d) K/V blocks and dK/dV accumulators,
+    # all inside the 16 MB scoped-VMEM limit.  Budget the intermediates at
+    # 8 MB so the whole allocation lands well under the limit regardless
+    # of the runner's VMEM configuration.  Measured on v5e at T=2048:
+    # Tq=512 requests 16.53M total and FAILS under the driver's flags
+    # (this exact overflow crashed the round-2 bench); Tq=256 requests
+    # ~10.3M and fits with margin.
+    budget = 8 * 1024 * 1024
+    for t in (512, 256, 128):
+        if T % t == 0 and 3 * t * T * 4 <= budget:
             return t
     raise ValueError(f"sequence length {T} not a multiple of 128")
 
@@ -205,7 +218,7 @@ def _fwd(q, k, v, mask, seed, scale, rate, interpret):
 
 def _bwd(q, k, v, mask, seed, do, scale, rate, interpret):
     B, H, T, d = q.shape
-    Tq = _pick_q_tile(T, cap=512)
+    Tq = _pick_bwd_q_tile(T)
     kT = jnp.swapaxes(k, 2, 3)
     vT = jnp.swapaxes(v, 2, 3)
     qtile = pl.BlockSpec((1, 1, Tq, d), lambda b, h, qt: (b, h, qt, 0))

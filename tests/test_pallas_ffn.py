@@ -1,0 +1,147 @@
+"""Parity tests for the fused conformer FFN-half Pallas kernel
+(ops/pallas_ffn.py) in interpret mode, against the XLA composition it
+replaces in models.layers.FFTBlock: LN1 -> depthwise conv -> pointwise-up
+-> ReLU -> grouped conv -> pointwise-down -> residual -> LN2.
+
+Covers (advisor round-2 finding): odd/even depthwise kernels, multi-tile
+T, T smaller than the halo, T not a multiple of the tile, f32 and bf16,
+plus a direct unit test of the grouped-conv/down-projection fold."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightningfastspeech2_tpu.models.layers import layer_norm_fn
+from lightningfastspeech2_tpu.ops.depthwise import (
+    depthwise_conv1d,
+    grouped_conv1d,
+)
+from lightningfastspeech2_tpu.ops.pallas_ffn import (
+    fold_grouped_into_down,
+    fused_ffn_ln,
+)
+
+C, F = 8, 16  # hidden / filter; groups = C (the reference's conv2 quirk)
+
+
+def _params(rng, k):
+    g = np.random.default_rng(rng)
+    ci = F // C
+    return dict(
+        wd=g.standard_normal((k, C)).astype(np.float32) * 0.3,
+        bd=g.standard_normal((C,)).astype(np.float32) * 0.1,
+        w1=g.standard_normal((1, C, F)).astype(np.float32) * 0.3,
+        b1=g.standard_normal((F,)).astype(np.float32) * 0.1,
+        wg=g.standard_normal((1, C, ci, ci)).astype(np.float32) * 0.3,
+        bg=g.standard_normal((F,)).astype(np.float32) * 0.1,
+        w2=g.standard_normal((1, F, C)).astype(np.float32) * 0.3,
+        b2=g.standard_normal((C,)).astype(np.float32) * 0.1,
+        g1=1.0 + 0.1 * g.standard_normal((C,)).astype(np.float32),
+        be1=0.1 * g.standard_normal((C,)).astype(np.float32),
+        g2=1.0 + 0.1 * g.standard_normal((C,)).astype(np.float32),
+        be2=0.1 * g.standard_normal((C,)).astype(np.float32),
+    )
+
+
+def _xla_ffn_half(z, p, dtype):
+    """The exact deterministic XLA path of FFTBlock's FFN half
+    (models/layers.py: layer_norm_fn + ConvFFN depthwise branch)."""
+    dt = dtype
+    t = layer_norm_fn(z, jnp.asarray(p["g1"]), jnp.asarray(p["be1"]), dt)
+    h = depthwise_conv1d(
+        t.astype(dt), jnp.asarray(p["wd"]).astype(dt),
+        jnp.asarray(p["bd"]).astype(dt),
+    )
+    h = h @ jnp.asarray(p["w1"])[0].astype(dt) + jnp.asarray(p["b1"]).astype(dt)
+    h = jax.nn.relu(h)
+    h = grouped_conv1d(
+        h, jnp.asarray(p["wg"]).astype(dt), jnp.asarray(p["bg"]).astype(dt)
+    )
+    h = h @ jnp.asarray(p["w2"])[0].astype(dt) + jnp.asarray(p["b2"]).astype(dt)
+    return layer_norm_fn(t + h, jnp.asarray(p["g2"]), jnp.asarray(p["be2"]), dt)
+
+
+def _fused(z, p, tile_m):
+    return fused_ffn_ln(
+        z,
+        jnp.asarray(p["wd"]), jnp.asarray(p["bd"]),
+        jnp.asarray(p["w1"]), jnp.asarray(p["b1"]),
+        jnp.asarray(p["wg"]), jnp.asarray(p["bg"]),
+        jnp.asarray(p["w2"]), jnp.asarray(p["b2"]),
+        jnp.asarray(p["g1"]), jnp.asarray(p["be1"]),
+        jnp.asarray(p["g2"]), jnp.asarray(p["be2"]),
+        tile_m=tile_m,
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize("k", [5, 4, 1, 9])
+@pytest.mark.parametrize(
+    "T,tile_m",
+    [
+        (32, 1024),  # single tile
+        (48, 16),    # multi-tile, exact multiple
+        (40, 16),    # multi-tile, T NOT a multiple of the tile
+        (7, 1024),   # T smaller than the halo (16)
+    ],
+)
+def test_fused_matches_xla_f32(k, T, tile_m):
+    p = _params(0, k)
+    z = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, T, C)), jnp.float32
+    )
+    ref = _xla_ffn_half(z, p, jnp.float32)
+    out = _fused(z, p, tile_m)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("k,T,tile_m", [(5, 48, 16), (4, 40, 16)])
+def test_fused_matches_xla_bf16(k, T, tile_m):
+    # bf16: the fused kernel accumulates depthwise taps in f32 while the
+    # XLA path accumulates in bf16, so parity is at bf16 rounding level
+    p = _params(1, k)
+    z = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, T, C)), jnp.bfloat16
+    )
+    ref = _xla_ffn_half(z, p, jnp.bfloat16).astype(jnp.float32)
+    out = _fused(z, p, tile_m).astype(jnp.float32)
+    scale = np.maximum(np.abs(np.asarray(ref)), 1.0)
+    np.testing.assert_array_less(
+        np.abs(np.asarray(out) - np.asarray(ref)) / scale, 0.06
+    )
+
+
+def test_fold_grouped_into_down_exact():
+    """blockdiag(Wg) @ W2 fold == grouped conv then pointwise-down."""
+    p = _params(4, 3)
+    h = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 24, F)), jnp.float32
+    )
+    ref = grouped_conv1d(h, jnp.asarray(p["wg"]), jnp.asarray(p["bg"]))
+    ref = ref @ jnp.asarray(p["w2"])[0] + jnp.asarray(p["b2"])
+    w2f, b2f = fold_grouped_into_down(
+        jnp.asarray(p["wg"]), jnp.asarray(p["bg"]),
+        jnp.asarray(p["w2"]), jnp.asarray(p["b2"]),
+    )
+    out = h @ w2f + b2f[None, None, :]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_edge_masking():
+    """Rows past T must not leak into edge taps: a long-tile run on short
+    T equals the same computation on exactly-T shapes."""
+    p = _params(6, 9)
+    g = np.random.default_rng(7)
+    z = jnp.asarray(g.standard_normal((1, 20, C)), jnp.float32)
+    out_a = _fused(z, p, tile_m=1024)   # m_pad = 32 > T = 20
+    out_b = _fused(z, p, tile_m=16)     # 2 tiles of 16, m_pad = 32
+    ref = _xla_ffn_half(z, p, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
