@@ -344,10 +344,20 @@ def main(argv=None):
         )
     if args.sort_data_by_length:
         dataset.sort_by_duration()
+    if jax.process_count() > 1:
+        # multi-host input sharding: every process scanned the same corpus
+        # (same seed -> same entry order, global vocab/stats) and keeps a
+        # strided slice; the global batch is assembled per step in
+        # shard_batch_for_mesh
+        dataset.shard_across_hosts()
+        print(f"host {jax.process_index()}/{jax.process_count()}: "
+              f"{len(dataset)} local utterances", flush=True)
 
     valid = None
     if args.valid_target_path:
         valid = dataset.create_validation_dataset(Path(args.valid_target_path))
+        if jax.process_count() > 1:
+            valid.shard_across_hosts()
 
     mesh = None
     if jax.device_count() > 1:

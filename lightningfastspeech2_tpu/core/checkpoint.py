@@ -66,8 +66,16 @@ class Checkpointer:
         # (and publish its ``latest`` marker) before starting this one
         self.wait_until_finished()
         path = self.dir / f"step_{step:08d}"
-        if path.exists():
+        # multi-host: every process calls orbax save (it coordinates the
+        # sharded write internally); all OTHER filesystem writes (rmtree,
+        # config/sidecar/marker) happen on process 0 only, with barriers
+        # so no process enters the orbax write while the stale directory
+        # is being removed
+        multi = self._process_count() > 1
+        if self._is_main() and path.exists():
             shutil.rmtree(path)
+        if multi:
+            self._barrier(f"ckpt_pre_save_{step}")
         self._ckptr.save(
             path / "tree",
             {
@@ -76,6 +84,12 @@ class Checkpointer:
                 "step": state.step,
             },
         )
+        if not self._is_main():
+            if self._async:
+                self._pending = path.name
+            if multi and not self._async:
+                self._barrier(f"ckpt_post_save_{step}")
+            return path
         if cfg is not None:
             C.save_json(cfg, str(path / "config.json"))
         if sidecar:
@@ -98,7 +112,28 @@ class Checkpointer:
             self._pending = path.name
         else:
             (self.dir / "latest").write_text(path.name)
+            if multi:
+                # other processes may read ``latest`` right after save()
+                self._barrier(f"ckpt_post_save_{step}")
         return path
+
+    @staticmethod
+    def _is_main() -> bool:
+        import jax
+
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _process_count() -> int:
+        import jax
+
+        return jax.process_count()
+
+    @staticmethod
+    def _barrier(name: str) -> None:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
     def wait_until_finished(self) -> None:
         """Block until any in-flight async write committed, then publish
@@ -107,8 +142,11 @@ class Checkpointer:
             return
         self._ckptr.wait_until_finished()
         if self._pending is not None:
-            (self.dir / "latest").write_text(self._pending)
-            self._pending = None
+            if self._is_main():
+                (self.dir / "latest").write_text(self._pending)
+            pending, self._pending = self._pending, None
+            if self._process_count() > 1:
+                self._barrier(f"ckpt_publish_{pending}")
 
     # --------------------------------------------------------------- restore
     def latest_path(self) -> Optional[Path]:
@@ -121,20 +159,40 @@ class Checkpointer:
 
     def restore(self, path: Optional[Path] = None, template: Any = None):
         """Returns (tree, cfg, sidecar). ``template`` (a matching pytree of
-        arrays) restores with correct dtypes/shardings when given."""
+        arrays) restores with the template's exact container types, dtypes
+        and shardings — orbax's own metadata turns tuples/NamedTuples
+        (optax states) into lists, so the plain restore is re-flattened
+        into the template's treedef and each leaf re-placed on the
+        template leaf's sharding (works under multi-host: every process
+        reads the full arrays, then device_put keeps only its addressable
+        shards)."""
         self.wait_until_finished()
         path = Path(path) if path else self.latest_path()
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")
+        tree = self._ckptr.restore(path / "tree")
         if template is not None:
-            tree = self._ckptr.restore(
-                path / "tree",
-                restore_args=self._ocp.checkpoint_utils.construct_restore_args(
-                    template
-                ),
+            import jax
+
+            tdef = jax.tree_util.tree_structure(template)
+            leaves = jax.tree_util.tree_leaves(tree)
+            t_leaves = jax.tree_util.tree_leaves(template)
+            if len(leaves) != len(t_leaves):
+                raise ValueError(
+                    f"checkpoint has {len(leaves)} leaves, template has "
+                    f"{len(t_leaves)}"
+                )
+
+            def place(leaf, t):
+                arr = np.asarray(leaf, dtype=getattr(t, "dtype", None))
+                sharding = getattr(t, "sharding", None)
+                if sharding is not None:
+                    return jax.device_put(arr, sharding)
+                return arr
+
+            tree = jax.tree_util.tree_unflatten(
+                tdef, [place(l, t) for l, t in zip(leaves, t_leaves)]
             )
-        else:
-            tree = self._ckptr.restore(path / "tree")
         cfg = None
         if (path / "config.json").exists():
             cfg = C.load_json(str(path / "config.json"))

@@ -91,10 +91,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays onto the mesh, batch-dim sharded over
-    ``data`` (each host contributes its local shard under multi-host)."""
+    ``data``. Under multi-host each process's array is its LOCAL shard
+    (the host-sharded input pipeline), assembled into the global array via
+    ``make_array_from_process_local_data``; single-process arrays are the
+    global batch and go through ``device_put``."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree replicated over the whole mesh. Required before
+    feeding locally-initialized state into a mesh-jitted step under
+    multi-host (every process passes the same host values)."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
     )
 
 

@@ -107,6 +107,22 @@ class StopTraining(Exception):
     reference train.py:275-280)."""
 
 
+def local_batch_size(cfg: Config) -> int:
+    """Per-host batch size: ``cfg.train.batch_size`` is the GLOBAL
+    per-step batch; under multi-host each process loads its share (the
+    dataset is host-sharded via shard_across_hosts and the global array
+    is assembled in shard_batch_for_mesh)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from lightningfastspeech2_tpu.parallel.mesh import (
+            host_local_batch_size,
+        )
+
+        return host_local_batch_size(cfg.train.batch_size)
+    return cfg.train.batch_size
+
+
 def restore_encoder_params(params, restores: Dict[str, Any]):
     """Write best variance-encoder snapshots back into a param tree before
     freezing (reference load_state_dict of {key}_encoder_best.pt,
@@ -162,7 +178,7 @@ def evaluate(
 
     bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
-    it = batch_iterator(dataset, cfg.train.batch_size, bucketer,
+    it = batch_iterator(dataset, local_batch_size(cfg), bucketer,
                         shuffle=False, epochs=1)
     accum: Dict[str, List[np.ndarray]] = {}
     losses_sum: Dict[str, float] = {}
@@ -265,20 +281,21 @@ def fit(
     model = build_model(cfg, dataset)
     bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames)
     max_steps = max_steps or cfg.train.max_steps
+    local_bs = local_batch_size(cfg)
 
     loader = None
     if cfg.train.num_workers > 0:
         from lightningfastspeech2_tpu.data.loader import PrefetchLoader
 
         loader = PrefetchLoader(
-            dataset, cfg.train.batch_size * max(cfg.train.grad_accum, 1),
+            dataset, local_bs * max(cfg.train.grad_accum, 1),
             bucketer, seed=cfg.train.seed,
             num_workers=cfg.train.num_workers, prefetch=cfg.train.prefetch,
         )
         batches = iter(loader)
     else:
         batches = batch_iterator(
-            dataset, cfg.train.batch_size * max(cfg.train.grad_accum, 1),
+            dataset, local_bs * max(cfg.train.grad_accum, 1),
             bucketer, seed=cfg.train.seed,
         )
     first = next(batches)
@@ -286,7 +303,7 @@ def fit(
                   if isinstance(v, np.ndarray)}
     if cfg.train.grad_accum > 1:
         init_batch = jax.tree_util.tree_map(
-            lambda x: x[: cfg.train.batch_size], init_batch
+            lambda x: x[:local_bs], init_batch
         )
 
     if state is None:
@@ -306,6 +323,13 @@ def fit(
         from lightningfastspeech2_tpu.train.step import shard_state_zero1
 
         state, _ = shard_state_zero1(mesh, state)
+    elif mesh is not None and jax.process_count() > 1:
+        # locally-initialized state must be explicitly replicated over the
+        # global mesh before the first multi-host step (committed local
+        # arrays can't feed a cross-process jit)
+        from lightningfastspeech2_tpu.parallel.mesh import replicate
+
+        state = replicate(mesh, state)
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     history: List[Dict[str, float]] = []
@@ -350,8 +374,10 @@ def _fit_loop(cfg, model, state, step_fn, batches, batch, rng, frozen,
     for step_i in range(max_steps):
         arrs = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         if accum > 1:
+            # batches are host-local: under multi-host each process loads
+            # batch_size/process_count items per microbatch
             arrs = {
-                k: v.reshape((accum, cfg.train.batch_size) + v.shape[1:])
+                k: v.reshape((accum, local_batch_size(cfg)) + v.shape[1:])
                 for k, v in arrs.items()
             }
         if mesh is not None:

@@ -271,7 +271,23 @@ def make_eval_step(model: FastSpeech2, cfg: Config, mesh: Optional[Mesh] = None)
 
 def shard_batch_for_mesh(mesh: Mesh, batch, accum_axis: bool):
     """Place host batch on the mesh: data-sharded over the (micro)batch
-    dim."""
+    dim.
+
+    Single-process: ``device_put`` (the host array IS the global batch).
+    Multi-process: each host's array is its LOCAL shard (the host-sharded
+    input pipeline gives every process different entries —
+    data/dataset.py shard_across_hosts), so the global array is assembled
+    via ``make_array_from_process_local_data``; ``device_put`` here would
+    wrongly treat the local shard as the full global batch."""
+    import numpy as np
+
     spec = P(None, "data") if accum_axis else P("data")
     sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,112 @@
+"""True multi-PROCESS execution test (VERDICT r2 item 4): a 2-process
+JAX CPU cluster (local coordinator, 4 virtual devices each, Gloo
+collectives) runs the real multi-host path end to end via
+tests/mp_worker.py — distributed_init, shard_across_hosts, per-host
+loader, global-batch pjit train step, orbax save/restore across
+processes. Everything else in tests/ is single-process; this is the only
+coverage of ``jax.process_count() > 1`` code paths (reference capability:
+Lightning DDP, ``litfass/train.py:285-292``)."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp_corpus")
+    from lightningfastspeech2_tpu.data.synthetic import make_corpus
+
+    make_corpus(root, n_speakers=2, n_utts=8, seed=11)  # 16 utterances
+    return root
+
+
+def test_two_process_cluster(corpus, tmp_path):
+    try:
+        port = _free_port()
+    except OSError:
+        pytest.skip("sockets unavailable")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the parent conftest forces an 8-device host platform; workers set
+    # their own 4-device count via jax_num_cpu_devices
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    )
+    # suppress the axon PJRT plugin registration in sitecustomize — it
+    # initializes the backend at import time, which pins the process to
+    # 1 local device before distributed_init can run
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "mp_worker.py"),
+             str(i), str(port), str(corpus), str(tmp_path / "ckpts")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    # --- host-sharded input: disjoint strided slices covering the corpus
+    shards = {}
+    for out in outs:
+        m = re.search(r"SHARD pid=(\d) total=(\d+) local=(\d+) ids=(\S+)",
+                      out)
+        assert m, out[-2000:]
+        shards[int(m.group(1))] = (int(m.group(2)), int(m.group(3)),
+                                   set(m.group(4).split(",")))
+    total0, local0, ids0 = shards[0]
+    total1, local1, ids1 = shards[1]
+    assert total0 == total1 == 16
+    assert local0 + local1 == 16
+    assert not (ids0 & ids1), "host shards overlap"
+    assert len(ids0 | ids1) == 16, "host shards don't cover the corpus"
+
+    # --- global-batch training: both processes saw identical (replicated,
+    # psum-reduced) losses each step
+    losses = {}
+    for out in outs:
+        for m in re.finditer(r"LOSS pid=(\d) step=(\d+) total=([\d.]+)",
+                             out):
+            losses.setdefault(int(m.group(2)), {})[int(m.group(1))] = float(
+                m.group(3)
+            )
+    assert len(losses) >= 2, outs[0][-2000:]
+    for step, by_pid in losses.items():
+        assert len(by_pid) == 2
+        assert by_pid[0] == pytest.approx(by_pid[1], rel=1e-6), (
+            f"step {step}: loss diverged across processes {by_pid}"
+        )
+
+    # --- orbax save/restore participated in by both processes
+    for out in outs:
+        assert re.search(r"RESTORE pid=\d ok=True", out), out[-2000:]
