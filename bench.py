@@ -377,6 +377,36 @@ def _wl_fastdiff(S, extra):
     fd16_rate, _dt = _rate(fd16_step, jnp.zeros(()), fd_iters, fd_audio_s)
     extra["fastdiff_vocoder_n4_bf16_audio_s_per_s"] = round(fd16_rate, 2)
 
+    # bf16 + fast gating (generate --vocoder_fast_gating): rational
+    # sigmoid/tanh gate approximations attacking the VPU transcendental
+    # bound; approximation error is below the bf16 noise floor
+    # (scripts/profile_fastdiff_gating.py, BASELINE.md round 3)
+    import dataclasses as _dc
+
+    fdfg = FastDiffVocoder(
+        _dc.replace(FastDiffConfig(), fast_gating=True),
+        params=fd.params, dtype=jnp.bfloat16,
+    )
+
+    @jax.jit
+    def fdfg_vocode(params, mel, carry):
+        eps_fn = lambda x, ts: fdfg.model.apply(
+            params, x, mel + carry * 1e-30, ts
+        ).astype(jnp.float32)
+        return fd_diff.reverse_sample(
+            eps_fn, fd_shape, fd_sched, jax.random.PRNGKey(8)
+        )
+
+    def fdfg_step(carry):
+        wav = fdfg_vocode(fd.params, mel_fd, carry)
+        return wav[0, 0].astype(jnp.float32) * 1e-30
+
+    _ = fdfg_vocode(fd.params, mel_fd, jnp.zeros(()))  # compile
+    fdfg_rate, _dt = _rate(fdfg_step, jnp.zeros(()), fd_iters, fd_audio_s)
+    extra["fastdiff_vocoder_n4_bf16_fast_gating_audio_s_per_s"] = round(
+        fdfg_rate, 2
+    )
+
 
 # ---- 4. training step time ------------------------------------------------
 def _wl_train(S, extra):

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "FastDiff (reference generate.py:37-38,163-171)")
     p.add_argument("--fastdiff_n", type=int, default=None,
                    help="reverse-diffusion steps (default: checkpoint cfg)")
+    p.add_argument("--vocoder_fast_gating", type=str2bool, default=False,
+                   help="rational sigmoid/tanh approximations in the "
+                        "FastDiff LVC gates (serving speed knob; SNR vs "
+                        "exact measured in BASELINE.md)")
     p.add_argument("--restore", type=str2bool, default=False,
                    help="post-vocoder restoration to 44.1 kHz (declip + "
                         "denoise + band-limited upsample + band "
@@ -160,9 +164,16 @@ def load_generator(args):
 
         import jax.numpy as jnp
 
+        from lightningfastspeech2_tpu.core.config import (
+            replace as cfg_replace,
+        )
+
         fd_dtype = (jnp.bfloat16 if args.vocoder_precision == 16
                     else jnp.float32)
-        fd = FastDiffVocoder(make_fastdiff_config(mcfg),
+        fd_cfg = make_fastdiff_config(mcfg)
+        if args.vocoder_fast_gating:
+            fd_cfg = cfg_replace(fd_cfg, fast_gating=True)
+        fd = FastDiffVocoder(fd_cfg,
                              params={"params": fastdiff_params},
                              dtype=fd_dtype)
         n_steps = args.fastdiff_n or mcfg.fastdiff_inference_steps

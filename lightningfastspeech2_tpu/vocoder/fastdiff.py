@@ -37,6 +37,39 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+def fast_tanh(x):
+    """Clamped Pade(7,6) tanh (Lambert continued-fraction truncation):
+    max abs error 9.6e-5 over the whole line (clip at +-4.97 where the
+    rational reaches ~tanh's saturation, then clip the output to +-1).
+
+    Mul/add + one divide instead of the VPU's transcendental exp.
+    FastDiff serving is bound by sigmoid*tanh gating at audio rate
+    (BASELINE.md round-2 attribution: ~4.5 ms of the 6.6 ms stage-3
+    block), so the gate math — not HBM — is the lever."""
+    t = jnp.clip(x, -4.97, 4.97)
+    t2 = t * t
+    num = t * (135135.0 + t2 * (17325.0 + t2 * (378.0 + t2)))
+    den = 135135.0 + t2 * (62370.0 + t2 * (3150.0 + t2 * 28.0))
+    return jnp.clip(num / den, -1.0, 1.0)
+
+
+def fast_sigmoid(x):
+    """sigmoid(x) = 0.5 (1 + tanh(x/2)) via fast_tanh; max err ~5e-5."""
+    return 0.5 * (fast_tanh(0.5 * x) + 1.0)
+
+
+def gated_activation(y, channels: int, fast: bool):
+    """sigmoid(y[:C]) * tanh(y[C:]) — the LVC block's output gate
+    (reference modules.py:250-253). ``fast=True`` (opt-in, config
+    ``fast_gating`` / generate ``--vocoder_fast_gating``) swaps in the
+    rational approximations; output-waveform SNR vs exact is measured in
+    scripts/profile_fastdiff_gating.py and recorded in BASELINE.md."""
+    a, b = y[..., :channels], y[..., channels:]
+    if fast:
+        return fast_sigmoid(a) * fast_tanh(b)
+    return jax.nn.sigmoid(a) * jnp.tanh(b)
+
+
 @dataclass(frozen=True)
 class FastDiffConfig:
     audio_channels: int = 1
@@ -54,6 +87,9 @@ class FastDiffConfig:
     beta_0: float = 1e-6
     beta_T: float = 0.01
     T: int = 1000
+    # opt-in rational sigmoid/tanh gate approximations (serving-speed
+    # knob; see gated_activation)
+    fast_gating: bool = False
 
     @property
     def hop_length(self) -> int:
@@ -171,6 +207,7 @@ class TimeAwareLVCBlock(nn.Module):
     dropout: float
     step_embed_dim_out: int
     dtype: jnp.dtype = jnp.float32
+    fast_gating: bool = False
 
     @nn.compact
     def __call__(self, x, audio_down, c, step_embed, deterministic=True):
@@ -202,9 +239,7 @@ class TimeAwareLVCBlock(nn.Module):
             y = location_variable_convolution(
                 y, kernels[:, :, i], bias[:, :, i], self.cond_hop_length
             )
-            x = x + jax.nn.sigmoid(y[..., : self.in_channels]) * jnp.tanh(
-                y[..., self.in_channels :]
-            )
+            x = x + gated_activation(y, self.in_channels, self.fast_gating)
         return x
 
 
@@ -246,7 +281,8 @@ class FastDiff(nn.Module):
                 cfg.inner_channels, cfg.cond_channels, cfg.upsample_ratios[n],
                 cfg.lvc_layers_each_block, cfg.lvc_kernel_size, cond_hop,
                 cfg.kpnet_hidden_channels, cfg.kpnet_conv_size, cfg.dropout,
-                cfg.step_embed_dim_out, self.dtype, name=f"lvc_blocks_{n}",
+                cfg.step_embed_dim_out, self.dtype, cfg.fast_gating,
+                name=f"lvc_blocks_{n}",
             )(h, downsampled[n_blocks - n - 1], c, emb, deterministic)
 
         out = TorchConv1d(cfg.audio_channels, 7, 1, 3, self.dtype,
