@@ -168,11 +168,19 @@ def _bwd_kernel(mask_ref, seed_ref, q_ref, k_ref, kT_ref, vT_ref, do_ref,
         dv_ref[0, 0] = dv_ref[0, 0] + dv.astype(dv_ref.dtype)
 
 
-def _pick_q_tile(T: int, cap: int = 1024) -> int:
-    # Forward: largest tile wins (fewer programs -> less fixed overhead);
-    # the single (Tq, T) f32 score block fits VMEM up to Tq=1024, T=4096.
+def _pick_q_tile(T: int, rate: float = 0.0, cap: int = 1024) -> int:
+    # Forward: largest tile wins (fewer programs -> less fixed overhead),
+    # but the live (Tq, T) 4-byte intermediates must fit scoped VMEM with
+    # margin: 1 block (f32 scores) deterministic, 2 blocks when dropout is
+    # on (scores + PRNG random bits).  Budgeting them at 8 MB keeps the
+    # total request well under the 16 MB limit: at T=2048 the dropout
+    # forward with Tq=1024 requests 16.07M and FAILS by 76K under the
+    # driver's flags (same marginal-VMEM class as the round-2 bwd crash);
+    # Tq=512 fits with ~8 MB to spare.
+    budget = 8 * 1024 * 1024
+    blocks = 2 if rate > 0.0 else 1
     for t in (1024, 512, 256, 128):
-        if t <= cap and T % t == 0:
+        if t <= cap and T % t == 0 and blocks * t * T * 4 <= budget:
             return t
     raise ValueError(f"sequence length {T} not a multiple of 128")
 
@@ -195,7 +203,7 @@ def _pick_bwd_q_tile(T: int) -> int:
 
 def _fwd(q, k, v, mask, seed, scale, rate, interpret):
     B, H, T, d = q.shape
-    Tq = _pick_q_tile(T)
+    Tq = _pick_q_tile(T, rate)
     kT = jnp.swapaxes(k, 2, 3)  # (B, H, d, T), one XLA transpose in HBM
     qtile = pl.BlockSpec((1, 1, Tq, d), lambda b, h, qt: (b, h, qt, 0))
     kT_spec = pl.BlockSpec((1, 1, d, T), lambda b, h, qt: (b, h, 0, 0))
