@@ -334,7 +334,14 @@ class TTSDataset:
             if var == "srmr":
                 from lightningfastspeech2_tpu.audio.srmr import frame_srmr
 
-                sig = frame_srmr(wav, dur_sum, cfg.audio.sampling_rate)
+                import jax as _jax
+
+                # host-side like the other features: SRMR's Hilbert
+                # envelope FFTs run at the raw wav length, and on TPU an
+                # odd-length FFT lowers to a full (N, N) DFT matmul —
+                # an 18 GB allocation for a 3 s utterance
+                with _jax.default_device(_cpu_device()):
+                    sig = frame_srmr(wav, dur_sum, cfg.audio.sampling_rate)
             else:
                 sig = feats[var][:dur_sum].astype(np.float64).copy()
             sm = silence_mask[: len(sig)]

@@ -221,7 +221,13 @@ class DVectorPipeline:
 
     def embed_wav(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
         mel = wav2mel(wav, sample_rate)
-        return np.asarray(self._embed(self.params, jnp.asarray(mel))[0])
+        # host-side like the rest of dataset-init feature extraction:
+        # utterance mels have per-utterance lengths, and recompiling the
+        # LSTM per length on a (possibly remote) TPU default device would
+        # serialize dataset init behind the accelerator
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return np.asarray(self._embed(self.params, jnp.asarray(mel))[0])
 
     def process_entries(self, entries, cache: bool = True) -> Dict[str, np.ndarray]:
         """Embed 1 s of each utterance; returns speaker -> mean d-vector."""
