@@ -28,7 +28,12 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+# force the CPU backend via jax.config (env vars are clobbered by this
+# environment's sitecustomize; same trick as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

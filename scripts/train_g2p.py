@@ -9,6 +9,18 @@ The reference uses the pretrained g2p_en net for OOV words
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# host-side utility: force the CPU backend via jax.config — this
+# environment's sitecustomize registers a remote-TPU plugin and resets
+# jax_platforms after env vars are read, so JAX_PLATFORMS=cpu alone is
+# not enough (same trick as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 
 
 def main(argv=None):
