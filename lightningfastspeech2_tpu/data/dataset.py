@@ -139,6 +139,60 @@ def _cpu_device():
     return jax.local_devices(backend="cpu")[0]
 
 
+def _stats_item_moments(
+    item: Dict[str, Any], cfg: "DataConfig"
+) -> Dict[str, Tuple[float, float, float, float, float]]:
+    """Reduce one extracted item to per-key (count, sum, sumsq, min, max)
+    over its finite values — the sufficient statistics for
+    ``_create_stats``' min/max/mean/population-std."""
+    out: Dict[str, Tuple[float, float, float, float, float]] = {}
+
+    def add(key: str, vals) -> None:
+        vals = np.asarray(vals, np.float64).ravel()
+        vals = vals[np.isfinite(vals)]
+        if vals.size:
+            out[key] = (float(vals.size), float(vals.sum()),
+                        float((vals * vals).sum()),
+                        float(vals.min()), float(vals.max()))
+
+    for i, var in enumerate(cfg.variances):
+        if cfg.variance_transforms[i] == "cwt":
+            with np.errstate(divide="ignore"):
+                vals = np.log(item[f"variances_{var}_signal"])
+        else:
+            vals = item[f"variances_{var}"]
+        add(var, vals)
+    add("mel", item["mel"])
+    add("duration", item["duration"])
+    for var in cfg.priors:
+        add(f"priors_{var}", [float(item[f"priors_{var}"])])
+    return out
+
+
+_STATS_DS = None
+
+
+def _stats_worker_init(payload: bytes) -> None:
+    # CPU backend only: workers must never touch the (possibly remote) TPU
+    import os
+    import pickle
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    global _STATS_DS
+    _STATS_DS = pickle.loads(payload)
+
+
+def _stats_worker_item(idx: int):
+    item = _STATS_DS.__getitem__(idx, augment=False)
+    return _stats_item_moments(item, _STATS_DS.cfg)
+
+
 @functools.lru_cache(maxsize=64)
 def _extract_fn(wav_len: int, sr: int, n_fft: int, win: int, hop: int,
                 n_mels: int, fmin: float, fmax: float,
@@ -443,7 +497,16 @@ class TTSDataset:
     # --------------------------------------------------------------- stats
     def _create_stats(self) -> Dict[str, Dict[str, float]]:
         """Streaming corpus statistics over the first ``stat_entries`` items
-        (reference ``datasets.py:214-304,744-794``)."""
+        (reference ``datasets.py:214-304,744-794``).
+
+        Each item reduces to per-key (count, sum, sumsq, min, max)
+        moments — exact min/max/mean/population-std of the concatenated
+        finite values, including the prior scalars in the SAME pass (an
+        earlier version re-extracted every item a second time for
+        priors). With ``cfg.scan_workers > 1`` items fan out over a spawn
+        pool: stats are the dominant dataset-init cost (full feature
+        extraction per item — ~0.15 s/utt means hours serial on a
+        LibriTTS-scale corpus, the reference's training corpus)."""
         if self.cfg.raw_mode:
             # stats always need full extraction; temporarily leave raw mode
             import dataclasses
@@ -455,39 +518,48 @@ class TTSDataset:
             finally:
                 self.cfg = saved
         n = min(len(self.entries), self.cfg.stat_entries)
-        acc: Dict[str, List[np.ndarray]] = {}
-        for idx in range(n):
-            item = self.__getitem__(idx, augment=False)
-            for i, var in enumerate(self.cfg.variances):
-                if self.cfg.variance_transforms[i] == "cwt":
-                    vals = np.log(item[f"variances_{var}_signal"]).ravel()
+        acc: Dict[str, Tuple[float, float, float, float, float]] = {}
+
+        def merge(moments: Dict[str, Tuple]) -> None:
+            for key, (cnt, s, ss, mn, mx) in moments.items():
+                if key in acc:
+                    N, S, SS, MN, MX = acc[key]
+                    acc[key] = (N + cnt, S + s, SS + ss,
+                                min(MN, mn), max(MX, mx))
                 else:
-                    vals = item[f"variances_{var}"].ravel()
-                acc.setdefault(var, []).append(vals)
-            acc.setdefault("mel", []).append(item["mel"].ravel())
-            acc.setdefault("duration", []).append(
-                item["duration"].astype(np.float64)
-            )
-        stats: Dict[str, Dict[str, float]] = {}
-        for key, chunks in acc.items():
-            allv = np.concatenate(chunks)
-            allv = allv[np.isfinite(allv)]
-            stats[key] = {
-                "min": float(allv.min()),
-                "max": float(allv.max()),
-                "mean": float(allv.mean()),
-                "std": float(max(allv.std(), 1e-7)),
-            }
-        # priors stats
-        for var in self.cfg.priors:
-            vals = []
+                    acc[key] = (cnt, s, ss, mn, mx)
+
+        if self.cfg.scan_workers > 1 and n >= 4 * self.cfg.scan_workers:
+            import pickle
+            from concurrent.futures import ProcessPoolExecutor
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            payload = pickle.dumps(self)
+            with ProcessPoolExecutor(
+                max_workers=self.cfg.scan_workers,
+                mp_context=ctx,
+                initializer=_stats_worker_init,
+                initargs=(payload,),
+            ) as pool:
+                chunk = max(1, -(-n // (self.cfg.scan_workers * 8)))
+                for moments in pool.map(_stats_worker_item, range(n),
+                                        chunksize=chunk):
+                    merge(moments)
+        else:
             for idx in range(n):
                 item = self.__getitem__(idx, augment=False)
-                vals.append(float(item[f"priors_{var}"]))
-            v = np.asarray(vals)
-            stats[f"priors_{var}"] = {
-                "min": float(v.min()), "max": float(v.max()),
-                "mean": float(v.mean()), "std": float(max(v.std(), 1e-7)),
+                merge(_stats_item_moments(item, self.cfg))
+
+        stats: Dict[str, Dict[str, float]] = {}
+        for key, (cnt, s, ss, mn, mx) in acc.items():
+            mean = s / cnt
+            var = max(ss / cnt - mean * mean, 0.0)
+            stats[key] = {
+                "min": float(mn),
+                "max": float(mx),
+                "mean": float(mean),
+                "std": float(max(np.sqrt(var), 1e-7)),
             }
         return stats
 

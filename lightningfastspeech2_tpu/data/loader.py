@@ -78,8 +78,17 @@ def batch_index_stream(
 
 
 def _worker_init(payload: bytes, seed: int, counter) -> None:
-    # CPU backend only: workers must never touch the (possibly remote) TPU
+    # CPU backend only: workers must never touch the (possibly remote) TPU.
+    # Belt and braces: some environments pre-import jax from sitecustomize
+    # and reset jax_platforms AFTER env vars are read, so pin the config
+    # too (backends initialize lazily; this works pre-first-device-use).
     os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     global _WORKER_DS, _WORKER_BUCKETER
     _WORKER_DS, _WORKER_BUCKETER = pickle.loads(payload)
     with counter.get_lock():

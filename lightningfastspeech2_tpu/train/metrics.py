@@ -58,6 +58,28 @@ def masked_mae(pred: np.ndarray, truth: np.ndarray,
     return float(err.mean())
 
 
+def mel_cepstral_distortion(
+    pred_mel: np.ndarray, true_mel: np.ndarray, n_coeffs: int = 13
+) -> float:
+    """MCD (dB) between frame-aligned log10-mel spectrograms (T, n_mels).
+
+    Kubichek's formula on DCT-II cepstra of the ln-mel spectrum,
+    c1..c{n_coeffs} (c0/energy excluded):
+    MCD = mean_t (10/ln10) * sqrt(2 * sum_k (dc_k)^2).
+    The standard TTS quality number the reference ecosystem reports;
+    computed on the teacher-forced mels (same frame grid, no DTW
+    alignment term)."""
+    n_mels = pred_mel.shape[-1]
+    k = np.arange(1, n_coeffs + 1)[:, None]
+    n = np.arange(n_mels)[None, :]
+    basis = np.sqrt(2.0 / n_mels) * np.cos(np.pi * (n + 0.5) * k / n_mels)
+    ln10 = np.log(10.0)
+    dc = (pred_mel - true_mel) * ln10 @ basis.T  # (T, n_coeffs)
+    return float(np.mean(
+        (10.0 / ln10) * np.sqrt(2.0 * np.sum(dc**2, axis=-1))
+    ))
+
+
 def eval_metrics(
     results: Dict[str, List[np.ndarray]],
     variances,
@@ -89,7 +111,7 @@ def eval_metrics(
         n = min(len(pred_m), len(true))
         out[f"eval/mae_{var}"] = masked_mae(pred_m[:n], true[:n])
     if results.get("mel_pred"):
-        js, dtw1, dtw3, mae = [], [], [], []
+        js, dtw1, dtw3, mae, mcd = [], [], [], [], []
         for p, t in zip(results["mel_pred"], results["mel_true"]):
             n = min(len(p), len(t))
             if n == 0:
@@ -98,11 +120,13 @@ def eval_metrics(
             dtw1.append(softdtw_cpu(p[:n], t[:n], gamma=1.0, normalize=True))
             dtw3.append(softdtw_cpu(p[:n], t[:n], gamma=0.001, normalize=True))
             mae.append(np.abs(p[:n] - t[:n]).mean())
+            mcd.append(mel_cepstral_distortion(p[:n], t[:n]))
         if js:
             out["eval/jensenshannon_mel"] = float(np.nanmean(js))
             out["eval/softdtw_mel"] = float(np.mean(dtw1))
             out["eval/softdtw_mel_fine"] = float(np.mean(dtw3))
             out["eval/mae_mel"] = float(np.mean(mae))
+            out["eval/mcd_mel"] = float(np.mean(mcd))
     return out
 
 

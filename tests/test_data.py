@@ -195,3 +195,30 @@ def test_cache_key_ignores_scan_workers(tmp_path):
     ds1 = TTSDataset(root=root, cfg=DataConfig(stat_entries=0, scan_workers=0))
     ds2 = TTSDataset(root=root, cfg=DataConfig(stat_entries=0, scan_workers=8))
     assert ds1.cache_key() == ds2.cache_key()
+
+
+def test_parallel_stats_match_serial(corpus):
+    """_create_stats with scan_workers>1 fans items over a spawn pool;
+    the merged moments must reproduce the serial stats exactly (same
+    finite-value min/max/mean/population-std, priors included)."""
+    import dataclasses
+
+    cfg = DataConfig(
+        variances=("pitch", "energy"),
+        variance_levels=("frame", "frame"),
+        variance_transforms=("none", "none"),
+        priors=("pitch", "duration"),
+        augment_duration=0.0,
+        stat_entries=8,
+        max_phones=64,
+        max_frames=512,
+        scan_workers=0,
+    )
+    serial = TTSDataset(root=corpus, cfg=cfg).stats
+    par_cfg = dataclasses.replace(cfg, scan_workers=2)
+    parallel = TTSDataset(root=corpus, cfg=par_cfg).stats
+    assert set(serial) == set(parallel)
+    for key in serial:
+        for stat in ("min", "max", "mean", "std"):
+            assert abs(serial[key][stat] - parallel[key][stat]) <= 1e-9, (
+                key, stat, serial[key], parallel[key])

@@ -104,3 +104,17 @@ def test_evaluate_mesh_matches_unsharded(tmp_path):
         if np.isnan(a) and np.isnan(b):
             continue
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3, err_msg=k)
+
+
+def test_mcd_properties():
+    from lightningfastspeech2_tpu.train.metrics import mel_cepstral_distortion
+
+    rng = np.random.default_rng(0)
+    t = rng.normal(size=(50, 80))
+    assert mel_cepstral_distortion(t, t) == 0.0
+    # a constant spectral offset lives entirely in c0 (excluded): MCD 0
+    assert mel_cepstral_distortion(t + 1.7, t) < 1e-9
+    # spectral-shape distortion is positive and grows with magnitude
+    d1 = mel_cepstral_distortion(t + 0.1 * rng.normal(size=t.shape), t)
+    d2 = mel_cepstral_distortion(t + 0.5 * rng.normal(size=t.shape), t)
+    assert 0 < d1 < d2
