@@ -264,6 +264,14 @@ class TTSDataset:
                     self.speaker2dvector[s] = _hash_dvector(s)
         self.speaker2priors: Dict[str, Dict[str, np.ndarray]] = {}
 
+        # per-utterance feature cache (reference pre-computes features to
+        # disk at dataset build, datasets.py; without this every epoch
+        # re-runs the full front-end — at ~0.15 s/utt that dominates a
+        # multi-epoch run): stats WRITE it, training epochs READ it
+        self.feature_cache_dir = (
+            Path(cache_dir) / "features" if cache_dir is not None else None
+        )
+
         self.stats = stats
         if self.stats is None and compute_stats:
             if cache_dir is not None and self.load_cache(cache_dir):
@@ -333,6 +341,41 @@ class TTSDataset:
         n_frames = 1 + len(wav) // a.hop_length
         return {k: v[:n_frames] for k, v in out.items()}
 
+    def _cached(self, name: str, entry: Entry, key_parts, compute):
+        """Disk-cache one utterance's derived arrays (atomic writes, safe
+        under concurrent loader/stats workers). Returns dict of arrays."""
+        cdir = self.feature_cache_dir
+        if cdir is None:
+            return compute()
+        key = hashlib.md5(
+            json.dumps(list(key_parts), default=str).encode()
+        ).hexdigest()[:16]
+        path = cdir / f"{entry.utt_id}-{name}-{key}.npz"
+        if path.exists():
+            try:
+                with np.load(path) as z:
+                    return {k: z[k] for k in z.files}
+            except Exception:
+                pass  # torn/corrupt file: recompute and rewrite
+        out = compute()
+        import os as _os
+
+        cdir.mkdir(parents=True, exist_ok=True)
+        tmp = cdir / f".{entry.utt_id}-{name}-{key}.{_os.getpid()}.npz"
+        np.savez(tmp, **out)
+        _os.replace(tmp, path)
+        return out
+
+    def _features(self, entry: Entry, wav: np.ndarray) -> Dict[str, np.ndarray]:
+        a = self.cfg.audio
+        return self._cached(
+            "feats", entry,
+            (entry.utt_id, len(wav), a.sampling_rate, a.n_fft, a.win_length,
+             a.hop_length, a.n_mels, a.f_min, a.f_max,
+             "pitch" in self.cfg.variances, "snr" in self.cfg.variances),
+            lambda: self._extract(wav),
+        )
+
     def __getitem__(self, idx: int, augment: bool = True) -> Dict[str, Any]:
         entry = self.entries[idx]
         cfg = self.cfg
@@ -366,7 +409,7 @@ class TTSDataset:
                 item["speaker"] = np.int64(self.speaker2id[entry.speaker])
             return item
 
-        feats = self._extract(wav)
+        feats = self._features(entry, wav)
 
         durations = entry.durations.copy()
         if augment and cfg.augment_duration > 0:
@@ -386,16 +429,28 @@ class TTSDataset:
         variances: Dict[str, Any] = {}
         for i, var in enumerate(cfg.variances):
             if var == "srmr":
-                from lightningfastspeech2_tpu.audio.srmr import frame_srmr
 
-                import jax as _jax
+                def _compute_srmr():
+                    from lightningfastspeech2_tpu.audio.srmr import frame_srmr
 
-                # host-side like the other features: SRMR's Hilbert
-                # envelope FFTs run at the raw wav length, and on TPU an
-                # odd-length FFT lowers to a full (N, N) DFT matmul —
-                # an 18 GB allocation for a 3 s utterance
-                with _jax.default_device(_cpu_device()):
-                    sig = frame_srmr(wav, dur_sum, cfg.audio.sampling_rate)
+                    import jax as _jax
+
+                    # host-side like the other features: SRMR's Hilbert
+                    # envelope FFTs run at the raw wav length, and on TPU
+                    # an odd-length FFT lowers to a full (N, N) DFT
+                    # matmul — an 18 GB allocation for a 3 s utterance
+                    with _jax.default_device(_cpu_device()):
+                        return {"srmr": frame_srmr(
+                            wav, dur_sum, cfg.audio.sampling_rate)}
+
+                # dur_sum (the interp grid) is augmentation-stable: the
+                # duration jitter preserves the total (features.py)
+                sig = self._cached(
+                    "srmr", entry,
+                    (entry.utt_id, len(wav), int(dur_sum),
+                     cfg.audio.sampling_rate),
+                    _compute_srmr,
+                )["srmr"]
             else:
                 sig = feats[var][:dur_sum].astype(np.float64).copy()
             sm = silence_mask[: len(sig)]
@@ -564,10 +619,18 @@ class TTSDataset:
         return stats
 
     def create_validation_dataset(self, root: Path) -> "TTSDataset":
-        """Validation split sharing vocab + stats (datasets.py:315)."""
+        """Validation split sharing vocab + stats (datasets.py:315).
+
+        ``min_samples_per_speaker`` is a TRAIN-split filter (the CLI flag
+        is --train_min_samples_per_speaker) and must not apply here: a
+        typical held-out split has a handful of utterances per speaker,
+        and inheriting the filter silently emptied the eval set."""
+        import dataclasses
+
         entries = self.scan(Path(root), self.cfg)
+        cfg = dataclasses.replace(self.cfg, min_samples_per_speaker=0)
         return TTSDataset(
-            cfg=self.cfg, entries=entries, vocab=self.vocab, stats=self.stats,
+            cfg=cfg, entries=entries, vocab=self.vocab, stats=self.stats,
             speaker2dvector=self.speaker2dvector, compute_stats=False,
         )
 

@@ -222,3 +222,27 @@ def test_parallel_stats_match_serial(corpus):
         for stat in ("min", "max", "mean", "std"):
             assert abs(serial[key][stat] - parallel[key][stat]) <= 1e-9, (
                 key, stat, serial[key], parallel[key])
+
+
+def test_feature_cache_roundtrip(corpus, tmp_path):
+    """Per-utterance feature caching: second dataset (same cache dir)
+    reproduces items bit-exactly without re-extracting."""
+    cfg = DataConfig(
+        variances=("pitch", "energy", "snr"),
+        variance_levels=("frame",) * 3,
+        variance_transforms=("none",) * 3,
+        augment_duration=0.0,
+        stat_entries=2,
+        max_phones=64,
+        max_frames=512,
+    )
+    ds1 = TTSDataset(root=corpus, cfg=cfg, cache_dir=tmp_path)
+    item1 = ds1[0]
+    feat_files = list((tmp_path / "features").glob("*.npz"))
+    assert feat_files, "feature cache not written"
+    ds2 = TTSDataset(root=corpus, cfg=cfg, cache_dir=tmp_path)
+    # poison _extract: a cache hit must not call it
+    ds2._extract = None
+    item2 = ds2[0]
+    for k in ("mel", "variances_pitch", "variances_energy", "variances_snr"):
+        np.testing.assert_array_equal(item1[k], item2[k])
