@@ -35,11 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="draw a novel d-vector from the speaker's GMM "
                         "(needs dvector_gmms.pkl from train --dvector_gmm)")
     p.add_argument("--prior_values", nargs="*", type=float, default=[])
-    p.add_argument("--lexicon_path", type=str, default=None)
-    p.add_argument("--g2p_model", type=str, default=None,
+    p.add_argument("--lexicon_path", type=str, default="builtin",
+                   help="CMUdict-format lexicon; 'builtin' = the shipped "
+                        "expanded English lexicon (data/"
+                        "lexicon_en_expanded.txt), 'none' disables")
+    p.add_argument("--g2p_model", type=str, default="builtin",
                    help="NeuralG2P .npz (scripts/train_g2p.py) used for "
                         "OOV words, like the reference's g2p_en fallback "
-                        "(g2p.py:4)")
+                        "(g2p.py:4); 'builtin' = the shipped data/"
+                        "g2p_en.npz (held-out PER 0.059 vs rule LTS "
+                        "0.385, BASELINE.md), 'none' = rule LTS only")
     # dataset re-synthesis mode (generate.py:134-252)
     p.add_argument("--dataset", type=str, default=None,
                    help="aligned corpus root for re-synthesis mode")
@@ -243,11 +248,27 @@ def load_generator(args):
         with open(dv_gmm_path, "rb") as fh:
             dvector_gmms = pickle.load(fh)
 
+    from pathlib import Path as _Path
+
+    _data_dir = _Path(__file__).parent.parent / "data"
+    lexicon_path = args.lexicon_path
+    if lexicon_path == "builtin":
+        builtin_lex = _data_dir / "lexicon_en_expanded.txt"
+        lexicon_path = str(builtin_lex) if builtin_lex.exists() else None
+    elif lexicon_path in ("none", ""):
+        lexicon_path = None
+
     neural_g2p = None
-    if args.g2p_model:
+    g2p_model = args.g2p_model
+    if g2p_model == "builtin":
+        builtin_g2p = _data_dir / "g2p_en.npz"
+        g2p_model = str(builtin_g2p) if builtin_g2p.exists() else None
+    elif g2p_model in ("none", ""):
+        g2p_model = None
+    if g2p_model:
         from lightningfastspeech2_tpu.synthesis.neural_g2p import NeuralG2P
 
-        neural_g2p = NeuralG2P.load(args.g2p_model)
+        neural_g2p = NeuralG2P.load(g2p_model)
 
     # device placement: committed params pin each jitted program to its
     # device; activations follow (XLA inserts the host/ICI transfer)
@@ -262,7 +283,7 @@ def load_generator(args):
 
     gen = SpeechGenerator(
         C.replace(cfg, model=mcfg), model, acoustic_params, vocab,
-        EnglishG2P(args.lexicon_path, neural=neural_g2p),
+        EnglishG2P(lexicon_path, neural=neural_g2p),
         synthesiser=synthesiser,
         speaker2dvector=sidecar.get("speaker2dvector"),
         speaker2id=sidecar.get("speaker2id"),

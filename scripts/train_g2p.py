@@ -46,8 +46,16 @@ def main(argv=None):
     lexicon = _Lex(args.lexicon).lexicon
     print(f"{len(lexicon)} lexicon entries")
     words = sorted(lexicon)
-    held = words[: args.holdout]
-    train_lex = {w: lexicon[w] for w in words[args.holdout:]}
+    # seeded RANDOM holdout — an alphabetical prefix is all a-words and
+    # badly distribution-shifted vs the training set
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    held_idx = set(rng.choice(len(words), size=min(args.holdout, len(words)),
+                              replace=False).tolist())
+    held = [w for i, w in enumerate(words) if i in held_idx]
+    train_lex = {w: lexicon[w] for i, w in enumerate(words)
+                 if i not in held_idx}
 
     model = train_neural_g2p(
         train_lex, steps=args.steps, batch_size=args.batch_size,

@@ -49,6 +49,9 @@ def test_train_and_generate_cli(corpus, tmp_path):
         "--checkpoint_dir", str(ckpt_dir),
         "--output_path", str(out_dir),
         "--sentence", "hello world.",
+        # pin G2P to rule LTS: the shipped lexicon/neural-G2P defaults
+        # emit real English phones outside the tiny synthetic vocab
+        "--lexicon_path", "none", "--g2p_model", "none",
         "--no_vocoder",
     ])
     assert (out_dir / "sentence.wav").exists()

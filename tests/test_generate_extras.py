@@ -61,6 +61,9 @@ def test_generate_with_augmentations(trained, tmp_path):
     common = [
         "--checkpoint_dir", str(ckpt_dir),
         "--sentence", "hello world.",
+        # pin G2P to rule LTS: the shipped lexicon/neural-G2P defaults
+        # emit real English phones outside the tiny synthetic vocab
+        "--lexicon_path", "none", "--g2p_model", "none",
         "--no_vocoder", "--seed", "5",
         "--prior_strategy", "sample",
     ]
@@ -90,6 +93,9 @@ def test_generate_with_restore(trained, tmp_path):
     common = [
         "--checkpoint_dir", str(ckpt_dir),
         "--sentence", "hello world.",
+        # pin G2P to rule LTS: the shipped lexicon/neural-G2P defaults
+        # emit real English phones outside the tiny synthetic vocab
+        "--lexicon_path", "none", "--g2p_model", "none",
         "--no_vocoder", "--seed", "5",
         "--prior_strategy", "sample",
     ]
@@ -114,6 +120,9 @@ def test_generate_restore_plus_augment_chain(trained, tmp_path):
     gen_cli.main([
         "--checkpoint_dir", str(ckpt_dir),
         "--sentence", "hello world.",
+        # pin G2P to rule LTS: the shipped lexicon/neural-G2P defaults
+        # emit real English phones outside the tiny synthetic vocab
+        "--lexicon_path", "none", "--g2p_model", "none",
         "--no_vocoder", "--seed", "5",
         "--prior_strategy", "sample",
         "--output_path", str(out),
