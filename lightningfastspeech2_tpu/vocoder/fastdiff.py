@@ -290,12 +290,156 @@ class FastDiff(nn.Module):
         return out[..., 0]
 
 
+# ---------------------------------------------------------------------------
+# fused-kernel inference path
+# ---------------------------------------------------------------------------
+
+
+def eps_apply_fused(params, cfg: FastDiffConfig, x, c, ts,
+                    dtype=jnp.bfloat16, tile_frames: int = 0,
+                    interpret: bool = False):
+    """eps-network forward with each TimeAwareLVCBlock's 4-layer chain on
+    the fused Pallas kernel (ops/pallas_fastdiff.py) — same params
+    pytree, same output as ``FastDiff.apply`` at the working dtype.
+
+    Everything outside the LVC chains (kernel predictors, downsample
+    blocks, transposed convs — all MXU-shaped or trivially small) stays
+    on XLA; the chains, which the round-2 bisect measured as the serving
+    bottleneck (BASELINE.md), run one VMEM-resident program per tile.
+    """
+    from lightningfastspeech2_tpu.ops.pallas_fastdiff import fused_lvc_stack
+    from lightningfastspeech2_tpu.vocoder.hifigan import (
+        conv1d,
+        conv_transpose1d,
+    )
+
+    p = params["params"]
+
+    def wb(sub, name):
+        q = sub[name]
+        return jnp.asarray(q["kernel"], dtype), jnp.asarray(q["bias"], dtype)
+
+    def dense(sub, name, h):
+        w, b = wb(sub, name)
+        return h @ w + b
+
+    lrelu = lambda t, s: jnp.maximum(t, t * s)
+
+    emb = diffusion.step_embedding(ts, cfg.step_embed_dim_in).astype(dtype)
+    emb = swish(dense(p, "fc_t1", emb))
+    emb = swish(dense(p, "fc_t2", emb))
+
+    w, b = wb(p, "first_audio_conv")
+    h = conv1d(x[..., None].astype(dtype), w, b, 1, 3)
+
+    n_blocks = len(cfg.upsample_ratios)
+    downsampled = []
+    for i in range(n_blocks):
+        downsampled.append(h)
+        blk = p[f"downsample_{i}"]
+        factor = cfg.upsample_ratios[n_blocks - i - 1]
+        size = h.shape[1] // factor
+        down = h[:, ::factor, :][:, :size]
+        w, b = wb(blk, "residual_dense")
+        residual = conv1d(down, w, b, 1, 0)
+        g = down
+        for j, d in enumerate((1, 2, 4)):
+            g = lrelu(g, 0.2)
+            w, b = wb(blk, f"conv_{j}")
+            g = conv1d(g, w, b, d, d)
+        h = g + residual
+
+    cond_hop = 1
+    for n in range(n_blocks):
+        r = cfg.upsample_ratios[n]
+        cond_hop *= r
+        blk = p[f"lvc_blocks_{n}"]
+        noise = dense(blk, "fc_t", emb)
+        condition = c.astype(dtype) + noise[:, None, :]
+
+        # kernel predictor (KernelPredictor.__call__, deterministic)
+        kp = blk["kernel_predictor"]
+        kh = lrelu(conv1d(condition, *wb(kp, "input_conv"), 1, 2), 0.1)
+        kr = kh
+        for j in range(6):
+            w, b = wb(kp, f"residual_conv_{j}")
+            pad = (cfg.kpnet_conv_size - 1) // 2
+            kr = lrelu(conv1d(kr, w, b, 1, pad), 0.1)
+        kh = kh + kr
+        pad = (cfg.kpnet_conv_size - 1) // 2
+        k_flat = conv1d(kh, *wb(kp, "kernel_conv"), 1, pad)
+        b_flat = conv1d(kh, *wb(kp, "bias_conv"), 1, pad)
+        B, nL, _ = k_flat.shape
+        Ci = cfg.inner_channels
+        kernels = k_flat.reshape(
+            B, nL, cfg.lvc_layers_each_block, Ci, 2 * Ci,
+            cfg.lvc_kernel_size)
+        biases = b_flat.reshape(
+            B, nL, cfg.lvc_layers_each_block, 2 * Ci)
+
+        h = lrelu(h, 0.2)
+        w, b = wb(blk, "upsample")
+        h = conv_transpose1d(h, w, b, r, r // 2)
+
+        audio_down = downsampled[n_blocks - n - 1]
+        reach = sum(3 ** j + 1 for j in range(cfg.lvc_layers_each_block))
+        if cond_hop >= reach:
+            conv_w = jnp.stack(
+                [jnp.asarray(blk[f"conv_{j}"]["kernel"], dtype)
+                 for j in range(cfg.lvc_layers_each_block)])
+            conv_b = jnp.stack(
+                [jnp.asarray(blk[f"conv_{j}"]["bias"], jnp.float32)
+                 for j in range(cfg.lvc_layers_each_block)])
+            # VMEM budget is set by the per-frame LVC kernel blocks (the
+            # pallas_call takes prev/cur/next windows, double-buffered:
+            # 6x one block lives at once — F=64 at stage 2 requested
+            # 36.85M vs the 16M limit); 16 frames bf16 / 8 f32 keeps the
+            # whole program ~10M with the row tile still >=1k samples
+            if tile_frames:
+                tf = tile_frames
+            elif dtype == jnp.bfloat16:
+                tf = min(16, max(2048 // cond_hop, 4))
+            else:
+                tf = min(8, max(1024 // cond_hop, 4))
+            h = fused_lvc_stack(
+                h, audio_down, kernels, biases,
+                conv_w, conv_b, cond_hop, fast_gating=cfg.fast_gating,
+                tile_frames=tf, interpret=interpret,
+            )
+        else:
+            # early stages' hop is smaller than the 4 layers' receptive
+            # reach (stage 1: hop 8 < 44) — a one-frame halo can't cover
+            # them; they are also tiny (L = Tmel*8), so XLA keeps them
+            for j in range(cfg.lvc_layers_each_block):
+                h = h + audio_down
+                y = lrelu(h, 0.2)
+                d = 3 ** j
+                y = conv1d(y, *wb(blk, f"conv_{j}"), d, d)
+                y = lrelu(y, 0.2)
+                y = location_variable_convolution(
+                    y, kernels[:, :, j], biases[:, :, j], cond_hop)
+                h = h + gated_activation(y, Ci, cfg.fast_gating)
+
+    w, b = wb(p, "final_conv")
+    return conv1d(h, w, b, 1, 3)[..., 0]
+
+
 class FastDiffVocoder:
-    """Train/inference wrapper owning the schedule hyperparams."""
+    """Train/inference wrapper owning the schedule hyperparams.
+
+    On a real TPU, serving runs the eps network through the fused LVC
+    Pallas path (``eps_apply_fused``; per-stage chains VMEM-resident) —
+    parity-tested against ``FastDiff.apply``; ``fused=False`` or
+    ``LFS2_USE_PALLAS=0`` opts out, other backends fall back.
+    """
 
     def __init__(self, cfg: FastDiffConfig = FastDiffConfig(), params=None,
-                 rng=None, dtype=jnp.float32):
+                 rng=None, dtype=jnp.float32, fused: bool = True):
+        from lightningfastspeech2_tpu.ops import kernel_gate
+
         self.cfg = cfg
+        self.dtype = dtype
+        self.fused = fused and kernel_gate.pallas_enabled()
         self.model = FastDiff(cfg, dtype)
         self.hp = diffusion.compute_hyperparams(
             diffusion.linear_beta_schedule(cfg.beta_0, cfg.beta_T, cfg.T)
@@ -330,7 +474,11 @@ class FastDiffVocoder:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         schedule = diffusion.make_inference_schedule(self.hp, N)
 
-        eps_fn = lambda x, ts: self.model.apply(self.params, x, mel, ts)
+        if self.fused:
+            eps_fn = lambda x, ts: eps_apply_fused(
+                self.params, self.cfg, x, mel, ts, dtype=self.dtype)
+        else:
+            eps_fn = lambda x, ts: self.model.apply(self.params, x, mel, ts)
         wav = diffusion.reverse_sample(
             eps_fn, (B, Tc * self.cfg.hop_length), schedule, rng
         )
