@@ -374,10 +374,9 @@ class FFTBlock(nn.Module):
         sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
         # norm params are owned here (same tree as the former nn.LayerNorm
         # submodules) so the whole FFN half — LN1 -> ConvFFN -> residual ->
-        # LN2 — can run as ONE Pallas kernel on deterministic forwards
-        # (ops/pallas_ffn.py; training keeps the XLA path: the kernel has
-        # no VJP and the train step's win already comes from flash
-        # attention's backward)
+        # LN2 — can run as ONE Pallas kernel (ops/pallas_ffn.py):
+        # deterministic forwards via fused_ffn_ln, training via
+        # fused_ffn_ln_train (in-kernel dropout + recompute-based VJP)
         g1, be1 = _LayerNormParams(self.hidden, name="norm1")()
         g2, be2 = _LayerNormParams(self.hidden, name="norm2")()
         if self.conformer:
@@ -391,8 +390,7 @@ class FFTBlock(nn.Module):
                 self.dtype,
             )
             if (
-                deterministic
-                and self.depthwise
+                self.depthwise
                 and self.kernel2 == 1
                 and _fused_ffn_ok(self.hidden, self.filter_size)
             ):
@@ -401,12 +399,27 @@ class FFTBlock(nn.Module):
                 )
                 from lightningfastspeech2_tpu.ops.pallas_ffn import (
                     fused_ffn_ln,
+                    fused_ffn_ln_train,
                 )
 
                 p = ffn(None, deterministic, params_only=True)
-                return fused_ffn_ln(
-                    x + sa, *p, g1, be1, g2, be2,
-                    interpret=pallas_interpret(),
+                if deterministic or self.dropout == 0.0:
+                    return fused_ffn_ln(
+                        x + sa, *p, g1, be1, g2, be2,
+                        interpret=pallas_interpret(),
+                    )
+                # training: same fusion + in-kernel dropout + custom VJP
+                # (ops/pallas_ffn.py fused_ffn_ln_train) — the (B, T, F)
+                # intermediate never round-trips HBM in either pass;
+                # position-hashed masks are a different stream than
+                # nn.Dropout (like the flash kernel's PRNG), same stats
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max,
+                )
+                return fused_ffn_ln_train(
+                    x + sa, *p, g1, be1, g2, be2, seed,
+                    1e-5, self.dropout, 1024, pallas_interpret(),
                 )
             x = layer_norm_fn(x + sa, g1, be1, self.dtype)
             ff = ffn(x, deterministic)

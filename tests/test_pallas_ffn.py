@@ -145,3 +145,108 @@ def test_fused_edge_masking():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# training path (fused_ffn_ln_train): forward + custom-VJP gradients
+# ---------------------------------------------------------------------------
+
+
+def _xla_ffn_half_dropout(z, p, rate, seed, T):
+    """XLA reference for the TRAINING semantics: same math as
+    _xla_ffn_half plus the two ConvFFN dropouts, using the kernel's own
+    position-hashed masks (_pos_keep) so outputs/grads compare exactly."""
+    from lightningfastspeech2_tpu.ops.pallas_ffn import _pos_keep
+
+    B = z.shape[0]
+    gpos = jnp.arange(T, dtype=jnp.int32)[:, None]
+    inv = 1.0 / (1.0 - rate)
+
+    def one(zb, b):
+        seed_u = (jnp.uint32(seed)
+                  + jnp.uint32(b) * jnp.uint32(2654435761))
+        t = layer_norm_fn(zb, jnp.asarray(p["g1"]), jnp.asarray(p["be1"]),
+                          jnp.float32)
+        h = depthwise_conv1d(
+            t[None], jnp.asarray(p["wd"]), jnp.asarray(p["bd"]))[0]
+        h = h @ jnp.asarray(p["w1"])[0] + jnp.asarray(p["b1"])
+        h = jax.nn.relu(h)
+        if rate > 0:
+            keep1 = _pos_keep(gpos, h.shape[-1], rate, seed_u, 1)
+            h = jnp.where(keep1, h * inv, 0.0)
+        h = grouped_conv1d(h[None], jnp.asarray(p["wg"]),
+                           jnp.asarray(p["bg"]))[0]
+        h = h @ jnp.asarray(p["w2"])[0] + jnp.asarray(p["b2"])
+        if rate > 0:
+            keep2 = _pos_keep(gpos, h.shape[-1], rate, seed_u, 2)
+            h = jnp.where(keep2, h * inv, 0.0)
+        return layer_norm_fn(t + h, jnp.asarray(p["g2"]),
+                             jnp.asarray(p["be2"]), jnp.float32)
+
+    return jnp.stack([one(z[b], b) for b in range(B)])
+
+
+def _train_fused_fn(p, z, rate, seed, tile_m):
+    from lightningfastspeech2_tpu.ops.pallas_ffn import fused_ffn_ln_train
+
+    return fused_ffn_ln_train(
+        z, p["wd"], p["bd"], p["w1"], p["b1"], p["wg"], p["bg"],
+        p["w2"], p["b2"], p["g1"], p["be1"], p["g2"], p["be2"], seed,
+        1e-5, rate, tile_m, True,
+    )
+
+
+@pytest.mark.parametrize("rate,T,tile_m,k", [
+    (0.0, 48, 16, 5),
+    (0.3, 48, 16, 5),
+    (0.3, 40, 16, 4),   # T not a tile multiple
+    (0.5, 32, 1024, 9),
+])
+def test_train_forward_matches_reference(rate, T, tile_m, k):
+    p = {kk: jnp.asarray(v) for kk, v in _params(3, k).items()}
+    z = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, T, C)), jnp.float32)
+    ref = _xla_ffn_half_dropout(z, p, rate, 17, T)
+    got = _train_fused_fn(p, z, rate, 17, tile_m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("rate,T,tile_m,k", [
+    (0.0, 48, 16, 5),
+    (0.3, 40, 16, 5),
+])
+def test_train_grads_match_reference(rate, T, tile_m, k):
+    """Custom-VJP gradients (dz + every param) vs jax.grad through the
+    XLA composition with identical masks."""
+    p = {kk: jnp.asarray(v) for kk, v in _params(4, k).items()}
+    z = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, T, C)), jnp.float32)
+    w = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, T, C)), jnp.float32)
+
+    def loss_ref(p_, z_):
+        return jnp.sum(_xla_ffn_half_dropout(z_, p_, rate, 17, T) * w)
+
+    def loss_fused(p_, z_):
+        return jnp.sum(_train_fused_fn(p_, z_, rate, 17, tile_m) * w)
+
+    gp_ref, gz_ref = jax.grad(loss_ref, argnums=(0, 1))(p, z)
+    gp_got, gz_got = jax.grad(loss_fused, argnums=(0, 1))(p, z)
+    np.testing.assert_allclose(np.asarray(gz_got), np.asarray(gz_ref),
+                               rtol=1e-4, atol=1e-4)
+    for name in sorted(gp_ref):
+        np.testing.assert_allclose(
+            np.asarray(gp_got[name]), np.asarray(gp_ref[name]),
+            rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_train_rate0_matches_deterministic_kernel():
+    p = _params(5, 5)
+    z = jnp.asarray(
+        np.random.default_rng(10).standard_normal((2, 48, C)), jnp.float32)
+    det = _fused(z, p, 16)
+    trn = _train_fused_fn({kk: jnp.asarray(v) for kk, v in p.items()},
+                          z, 0.0, 3, 16)
+    np.testing.assert_allclose(np.asarray(trn), np.asarray(det),
+                               rtol=1e-6, atol=1e-6)
