@@ -335,77 +335,59 @@ def _wl_fastdiff(S, extra):
     )
     fd_sched = fd_diff.make_inference_schedule(fd.hp, 4)
     fd_shape = (Bf, Tf * fd.cfg.hop_length)
-
-    @jax.jit
-    def fd_vocode(params, mel, carry):
-        eps_fn = lambda x, ts: fd.model.apply(
-            params, x, mel + carry * 1e-30, ts
-        )
-        return fd_diff.reverse_sample(
-            eps_fn, fd_shape, fd_sched, jax.random.PRNGKey(8)
-        )
-
-    def fd_step(carry):
-        wav = fd_vocode(fd.params, mel_fd, carry)
-        return wav[0, 0].astype(jnp.float32) * 1e-30
-
-    _ = fd_vocode(fd.params, mel_fd, jnp.zeros(()))  # compile
     fd_audio_s = Bf * Tf * fd.cfg.hop_length / sr
     fd_iters = max(iters // 5, 5)
-    fd_rate, dt_fd = _rate(fd_step, jnp.zeros(()), fd_iters, fd_audio_s)
-    extra["fastdiff_vocoder_n4_audio_s_per_s"] = round(fd_rate, 2)
-    extra["fastdiff_vocoder_n4_step_ms"] = round(dt_fd * 1e3, 3)
+    extra["fastdiff_fused"] = bool(fd.fused)
 
-    # bf16 FastDiff serving variant (generate --vocoder_precision 16)
-    fd16 = FastDiffVocoder(FastDiffConfig(), params=fd.params,
-                           dtype=jnp.bfloat16)
-
-    @jax.jit
-    def fd16_vocode(params, mel, carry):
-        eps_fn = lambda x, ts: fd16.model.apply(
-            params, x, mel + carry * 1e-30, ts
-        ).astype(jnp.float32)
-        return fd_diff.reverse_sample(
-            eps_fn, fd_shape, fd_sched, jax.random.PRNGKey(8)
+    def make_vocode(fdv):
+        # the SERVING path the vocoder actually takes: the fused
+        # LVC-stack Pallas kernel on TPU (ops/pallas_fastdiff.py),
+        # FastDiff.apply elsewhere — same routing as fdv.inference()
+        from lightningfastspeech2_tpu.vocoder.fastdiff import (
+            eps_apply_fused,
         )
 
-    def fd16_step(carry):
-        wav = fd16_vocode(fd.params, mel_fd, carry)
-        return wav[0, 0].astype(jnp.float32) * 1e-30
+        @jax.jit
+        def vocode(params, mel, carry):
+            mel_c = mel + carry * 1e-30
+            if fdv.fused:
+                eps_fn = lambda x, ts: eps_apply_fused(
+                    params, fdv.cfg, x, mel_c, ts, dtype=fdv.dtype
+                ).astype(jnp.float32)
+            else:
+                eps_fn = lambda x, ts: fdv.model.apply(
+                    params, x, mel_c, ts).astype(jnp.float32)
+            return fd_diff.reverse_sample(
+                eps_fn, fd_shape, fd_sched, jax.random.PRNGKey(8)
+            )
 
-    _ = fd16_vocode(fd.params, mel_fd, jnp.zeros(()))  # compile
-    fd16_rate, _dt = _rate(fd16_step, jnp.zeros(()), fd_iters, fd_audio_s)
-    extra["fastdiff_vocoder_n4_bf16_audio_s_per_s"] = round(fd16_rate, 2)
+        return vocode
 
-    # bf16 + fast gating (generate --vocoder_fast_gating): rational
-    # sigmoid/tanh gate approximations attacking the VPU transcendental
-    # bound; approximation error is below the bf16 noise floor
-    # (scripts/profile_fastdiff_gating.py, BASELINE.md round 3)
     import dataclasses as _dc
 
-    fdfg = FastDiffVocoder(
-        _dc.replace(FastDiffConfig(), fast_gating=True),
-        params=fd.params, dtype=jnp.bfloat16,
-    )
+    variants = [
+        ("fastdiff_vocoder_n4", fd, True),
+        ("fastdiff_vocoder_n4_bf16",
+         FastDiffVocoder(FastDiffConfig(), params=fd.params,
+                         dtype=jnp.bfloat16), False),
+        # fast gating only pays on the XLA fallback path; in the fused
+        # kernel exact sigmoid*tanh is FASTER (BASELINE.md round 3)
+        ("fastdiff_vocoder_n4_bf16_fast_gating",
+         FastDiffVocoder(_dc.replace(FastDiffConfig(), fast_gating=True),
+                         params=fd.params, dtype=jnp.bfloat16), False),
+    ]
+    for name, fdv, record_ms in variants:
+        vocode = make_vocode(fdv)
 
-    @jax.jit
-    def fdfg_vocode(params, mel, carry):
-        eps_fn = lambda x, ts: fdfg.model.apply(
-            params, x, mel + carry * 1e-30, ts
-        ).astype(jnp.float32)
-        return fd_diff.reverse_sample(
-            eps_fn, fd_shape, fd_sched, jax.random.PRNGKey(8)
-        )
+        def step(carry, _v=vocode, _p=fd.params):
+            wav = _v(_p, mel_fd, carry)
+            return wav[0, 0].astype(jnp.float32) * 1e-30
 
-    def fdfg_step(carry):
-        wav = fdfg_vocode(fd.params, mel_fd, carry)
-        return wav[0, 0].astype(jnp.float32) * 1e-30
-
-    _ = fdfg_vocode(fd.params, mel_fd, jnp.zeros(()))  # compile
-    fdfg_rate, _dt = _rate(fdfg_step, jnp.zeros(()), fd_iters, fd_audio_s)
-    extra["fastdiff_vocoder_n4_bf16_fast_gating_audio_s_per_s"] = round(
-        fdfg_rate, 2
-    )
+        _ = vocode(fd.params, mel_fd, jnp.zeros(()))  # compile
+        rate_v, dt_v = _rate(step, jnp.zeros(()), fd_iters, fd_audio_s)
+        extra[f"{name}_audio_s_per_s"] = round(rate_v, 2)
+        if record_ms:
+            extra[f"{name}_step_ms"] = round(dt_v * 1e3, 3)
 
 
 # ---- 4. training step time ------------------------------------------------
