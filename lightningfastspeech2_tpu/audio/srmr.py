@@ -118,6 +118,50 @@ def srmr_per_window(
     return low / jnp.maximum(high, 1e-8)
 
 
+def frame_srmr_padded(
+    wav: jnp.ndarray,
+    length: jnp.ndarray,
+    n_frames: jnp.ndarray,
+    max_frames: int,
+    sampling_rate: int = 22050,
+    window_s: float = 0.256,
+    hop_s: float = 0.064,
+) -> jnp.ndarray:
+    """Static-shape twin of ``frame_srmr`` for the on-device feature path
+    (train/on_device_features.py): ``wav`` is a zero-padded (N_max,)
+    bucket, ``length`` its true sample count, ``n_frames`` the true mel
+    frame count; returns (max_frames,) with the interpolated SRMR on the
+    first ``n_frames`` positions.
+
+    Deviation vs the host path (documented): the Hilbert envelope is
+    taken over the PADDED buffer instead of the exact utterance length —
+    the analytic-signal kernel decays like 1/t, so in-signal windows
+    shift by <1e-3 relative (asserted in tests); windows past the true
+    length are excluded from the interpolation exactly like the host's.
+    """
+    values = srmr_per_window(wav, sampling_rate, window_s, hop_s)  # (Wm,)
+    win = int(window_s * sampling_rate)
+    hop = int(hop_s * sampling_rate)
+    n_valid = jnp.maximum(1 + (length - win) // hop, 1)  # dynamic scalar
+    w_max = values.shape[0]
+
+    # linear interp of a dynamic-length prefix onto a dynamic-length
+    # frame prefix, all in static shapes (datasets.py:622-628 semantics)
+    j = jnp.arange(max_frames, dtype=jnp.float32)
+    denom = jnp.maximum(n_frames.astype(jnp.float32) - 1.0, 1.0)
+    pos = j / denom * (n_valid.astype(jnp.float32) - 1.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, w_max - 1)
+    hi = jnp.clip(lo + 1, 0, w_max - 1)
+    # clamp into the VALID prefix so padding windows never leak in
+    lo = jnp.minimum(lo, n_valid - 1)
+    hi = jnp.minimum(hi, n_valid - 1)
+    frac = jnp.clip(pos - lo.astype(jnp.float32), 0.0, 1.0)
+    out = values[lo] * (1.0 - frac) + values[hi] * frac
+    # single-window utterances are constant (np.repeat on the host)
+    out = jnp.where(n_valid > 1, out, values[0])
+    return out
+
+
 def frame_srmr(
     wav: np.ndarray,
     n_frames: int,

@@ -73,6 +73,18 @@ def extract_batch_features(
 
     frame_lengths = jnp.minimum(durations.sum(axis=1), max_frames)
 
+    if "srmr" in vcfg.variances:
+        from lightningfastspeech2_tpu.audio.srmr import frame_srmr_padded
+
+        # true sample count approximated as frames*hop (raw batches do
+        # not carry exact wav lengths; the window count can differ by at
+        # most one vs the host at a hop boundary)
+        wav_lengths = frame_lengths * a.hop_length
+        raw["srmr"] = jax.vmap(
+            lambda w, l, nf: frame_srmr_padded(
+                w, l, nf, max_frames, a.sampling_rate)
+        )(wav, wav_lengths, frame_lengths)
+
     result: Dict[str, jnp.ndarray] = {"mel": raw["mel"]}
     for i, var in enumerate(vcfg.variances):
         sig = raw[var].astype(jnp.float32)

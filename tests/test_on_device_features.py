@@ -265,3 +265,53 @@ def test_raw_mode_evaluate(tmp_path):
     for key in ("eval/mel_loss", "eval/mae_pitch", "eval/mae_mel",
                 "eval/jensenshannon_energy"):
         assert key in metrics, sorted(metrics)
+
+
+def test_on_device_srmr_matches_host(tmp_path):
+    """SRMR on the device path (frame_srmr_padded: padded-Hilbert +
+    static-shape window interp) vs the host's frame_srmr. Tolerance
+    covers the documented padded-vs-exact Hilbert deviation and the
+    frames*hop wav-length approximation."""
+    corpus = make_corpus(tmp_path / "c", n_speakers=1, n_utts=2, seed=13)
+    dcfg = DataConfig(
+        variances=("energy", "srmr"),
+        variance_levels=("frame", "frame"),
+        variance_transforms=("none", "none"),
+        augment_duration=0.0, stat_entries=2, load_wav=True,
+        max_phones=32, max_frames=512,
+    )
+    ds = TTSDataset(root=corpus, cfg=dcfg)
+    cfg = C.Config(model=C.ModelConfig(
+        variance=C.VarianceConfig(
+            variances=("energy", "srmr"),
+            levels=("frame", "frame"),
+            transforms=("none", "none"),
+            losses=("mse", "mse"),
+            nlayers=(2, 2), kernel_sizes=(3, 3),
+            dropouts=(0.1, 0.1), loss_weights=(0.1, 0.1),
+        ),
+        max_phones=32, max_frames=512,
+    ))
+    stats = tuple(
+        (v, VarianceStats(**ds.stats[v])) for v in ("energy", "srmr")
+    )
+    item = ds.__getitem__(0, augment=False)
+    batch = ds.collate([item])
+    T = batch["mel"].shape[1]
+    hop = cfg.model.audio.hop_length
+    wav = np.zeros((1, T * hop), np.float32)
+    raw = item["wav"]
+    wav[0, : len(raw)] = raw
+    silence_phone = np.zeros((1, batch["phones"].shape[1]), bool)
+    silence_phone[0, : len(item["unexpanded_silence_mask"])] = item[
+        "unexpanded_silence_mask"
+    ]
+    feats = jax.jit(
+        lambda w, d, s: extract_batch_features(w, d, s, cfg, stats, T)
+    )(jnp.asarray(wav), jnp.asarray(batch["duration"]),
+      jnp.asarray(silence_phone))
+    n = int(item["duration"].sum())
+    got = np.asarray(feats["variances_srmr"])[0, :n]
+    want = batch["variances_srmr"][0, :n]
+    err = np.abs(got - want)
+    assert np.median(err) < 0.1, (np.median(err), err.max())
