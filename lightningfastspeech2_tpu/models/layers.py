@@ -403,7 +403,7 @@ class FFTBlock(nn.Module):
                 )
 
                 p = ffn(None, deterministic, params_only=True)
-                if deterministic or self.dropout == 0.0:
+                if deterministic:
                     return fused_ffn_ln(
                         x + sa, *p, g1, be1, g2, be2,
                         interpret=pallas_interpret(),

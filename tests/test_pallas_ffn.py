@@ -250,3 +250,47 @@ def test_train_rate0_matches_deterministic_kernel():
                           z, 0.0, 3, 16)
     np.testing.assert_allclose(np.asarray(trn), np.asarray(det),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fftblock_training_routes_through_fused(monkeypatch):
+    """Integration: with the Pallas gate forced on, FFTBlock's TRAINING
+    call routes through fused_ffn_ln_train (interpret on CPU) — grads
+    exist, are finite, and at dropout=0 match the XLA path exactly."""
+    import flax.linen as nn
+
+    from lightningfastspeech2_tpu.models.layers import FFTBlock
+    from lightningfastspeech2_tpu.ops import kernel_gate
+
+    monkeypatch.setenv("LFS2_USE_PALLAS", "1")
+    kernel_gate.reset_cache()
+    try:
+        for rate in (0.0, 0.2):
+            blk = FFTBlock(hidden=C, heads=2, kernel1=5, kernel2=1,
+                           filter_size=F, depthwise=True, dropout=rate)
+            x = jnp.asarray(
+                np.random.default_rng(0).standard_normal((2, 32, C)),
+                jnp.float32)
+            mask = jnp.ones((2, 32), bool)
+            params = blk.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, x, mask, False)
+
+            def loss(pp, xx):
+                out = blk.apply(pp, xx, mask, False,
+                                rngs={"dropout": jax.random.PRNGKey(2)})
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params, x)
+            assert np.isfinite(float(val))
+            for leaf in jax.tree_util.tree_leaves(grads):
+                assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+            if rate == 0.0:
+                monkeypatch.setenv("LFS2_USE_PALLAS", "0")
+                kernel_gate.reset_cache()
+                val_xla = loss(params, x)
+                monkeypatch.setenv("LFS2_USE_PALLAS", "1")
+                kernel_gate.reset_cache()
+                np.testing.assert_allclose(float(val), float(val_xla),
+                                           rtol=1e-5)
+    finally:
+        kernel_gate.reset_cache()
