@@ -96,20 +96,28 @@ def wav2mel(
     f_min: float = 50.0,
     n_mels: int = 40,
 ) -> np.ndarray:
-    """(N,) wav -> (T, 40) log-mel for the d-vector encoder."""
+    """(N,) wav -> (T, 40) log-mel for the d-vector encoder.
+
+    Host-side: silence removal makes every call a new length, and on a
+    (possibly remote) TPU default device each length is a fresh compile
+    — measured 2.3 s/utterance through the tunnel vs ~40 ms on CPU."""
+    import jax
+
     wav = wav_io.resample(np.asarray(wav, np.float32), sample_rate, target_rate)
     wav = normalize_db(wav, norm_db)
     wav = remove_silence(wav, target_rate)
     n_fft = int(target_rate * fft_window_ms / 1000)
     hop = int(target_rate * fft_hop_ms / 1000)
-    frames = frame_signal(jnp.asarray(wav), n_fft, hop)
-    win = hann_window(n_fft)
-    spec = jnp.abs(jnp.fft.rfft(frames * win, n=n_fft, axis=-1)) ** 2  # power 2
-    fb = jnp.asarray(
-        mel_filterbank_htk(target_rate, n_fft, n_mels, f_min, target_rate / 2)
-    )
-    mel = spec @ fb.T
-    return np.asarray(jnp.log(jnp.clip(mel, min=1e-9)))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        frames = frame_signal(jnp.asarray(wav), n_fft, hop)
+        win = hann_window(n_fft)
+        spec = jnp.abs(jnp.fft.rfft(frames * win, n=n_fft, axis=-1)) ** 2
+        fb = jnp.asarray(
+            mel_filterbank_htk(target_rate, n_fft, n_mels, f_min,
+                               target_rate / 2)
+        )
+        mel = spec @ fb.T
+        return np.asarray(jnp.log(jnp.clip(mel, min=1e-9)))
 
 
 # ---------------------------------------------------------------------------
