@@ -17,14 +17,16 @@ time-tile of ``x`` resident in VMEM across ALL four layers:
 - **Halo by neighbor blocks.** Mosaic rejects manual HBM slices whose
   minor dim is not 128-aligned (C=32 here), so instead of a haloed DMA
   the kernel takes each operand THREE times under BlockSpecs whose index
-  maps point at the previous/current/next tile (clamped at the edges)
-  and concatenates ``prev[-hop:] | cur | next[:hop]`` in registers. The
-  per-frame LVC kernels make ``hop`` the natural halo quantum: the 4
-  layers' total reach is sum(3^i)+4 = 44 < hop for every stage this
-  kernel accepts. Rows outside the true signal — including the
-  wrong-but-unused data a clamped edge block supplies — are masked to
-  zero before each conv (zero-padding semantics), and only the central
-  tile is written back.
+  maps point at the previous/current/next halo block (clamped at the
+  edges) and concatenates ``prev | cur | next`` in registers. The halo
+  is ``hf`` frames per side, with ``hf`` the smallest divisor of the
+  tile frame count whose rows cover the 4 layers' total receptive reach
+  of sum(3^i)+4 = 44 samples: late stages (hop >= 44) use hf=1, and the
+  hop-8 first stage — which round 3 left on XLA because a one-frame halo
+  can't reach — uses hf=8 (64 rows). Rows outside the true signal —
+  including the wrong-but-unused data a clamped edge block supplies —
+  are masked to zero before each conv (zero-padding semantics), and only
+  the central tile is written back.
 - **Dilated convs as rolled taps** on the f32 accumulator
   (``roll(y @ W, -s)``), the pallas_hifigan.py idiom.
 - **LVC as per-frame MXU matmuls.** The 3 taps fold into the contraction:
@@ -78,11 +80,11 @@ def _gate(g, C: int, fast: bool):
 def _stack_kernel(xp_ref, xc_ref, xn_ref, ap_ref, ac_ref, an_ref,
                   kp_ref, kc_ref, kn_ref, bp_ref, bc_ref, bn_ref,
                   cw_ref, cb_ref, o_ref,
-                  *, layers, hop, F, C, L, fast, interpret):
+                  *, layers, hop, F, hf, C, L, fast, interpret):
     it = pl.program_id(1)
-    Fe = F + 2                     # frames incl. one halo frame per side
+    Fe = F + 2 * hf                # frames incl. hf halo frames per side
 
-    # halo rows from hop-sized neighbor blocks (edge tiles get clamped —
+    # halo rows from hf-frame neighbor blocks (edge tiles get clamped —
     # wrong — data there; those rows have gpos outside [0, L) and are
     # masked to zero before every conv, and never written back)
     x = jnp.concatenate([xp_ref[0], xc_ref[0], xn_ref[0]], axis=0)
@@ -90,16 +92,16 @@ def _stack_kernel(xp_ref, xc_ref, xn_ref, ap_ref, ac_ref, an_ref,
     Me = Fe * hop
 
     gpos = (jax.lax.broadcasted_iota(jnp.int32, (Me, 1), 0)
-            + it * F * hop - hop)
+            + (it * F - hf) * hop)
     inside = (gpos >= 0) & (gpos < L)
 
     def frame_mats(f, i):
         # frame f of the extended window -> (kernel (3C,2C), bias (1,2C))
-        if f == 0:
-            return kp_ref[0, 0, i], bp_ref[0, 0, i]
-        if f == Fe - 1:
-            return kn_ref[0, 0, i], bn_ref[0, 0, i]
-        return kc_ref[0, f - 1, i], bc_ref[0, f - 1, i]
+        if f < hf:
+            return kp_ref[0, f, i], bp_ref[0, f, i]
+        if f >= hf + F:
+            return kn_ref[0, f - hf - F, i], bn_ref[0, f - hf - F, i]
+        return kc_ref[0, f - hf, i], bc_ref[0, f - hf, i]
 
     for i in range(layers):
         d = 3 ** i
@@ -137,7 +139,19 @@ def _stack_kernel(xp_ref, xc_ref, xn_ref, ap_ref, ac_ref, an_ref,
         gated = jnp.concatenate(outs, axis=0)          # (Me, C) f32
         x = x + gated.astype(x.dtype)
 
-    o_ref[0] = x[hop:hop + F * hop]
+    o_ref[0] = x[hf * hop:(hf + F) * hop]
+
+
+def pick_halo_frames(reach: int, hop: int, F: int) -> int | None:
+    """Smallest divisor of the tile frame count F whose row span covers
+    the layer stack's receptive reach; None when no halo fits (caller
+    falls back to the XLA composition). hf=1 for every stage with
+    hop >= reach (the round-3 behavior); the hop-8 first stage gets
+    hf=8 at F=16."""
+    for h in range(1, F + 1):
+        if F % h == 0 and h * hop >= reach:
+            return h
+    return None
 
 
 def fused_lvc_stack(
@@ -162,9 +176,11 @@ def fused_lvc_stack(
     _, nL, layers, _, C2, ks = kernels.shape
     assert ks == 3 and L == nL * hop and C2 == 2 * C
     reach = sum(3 ** i + 1 for i in range(layers))
-    assert reach <= hop, f"layer reach {reach} exceeds one-frame halo {hop}"
-
     F = min(tile_frames, nL)
+    hf = pick_halo_frames(reach, hop, F)
+    assert hf is not None, (
+        f"layer reach {reach} exceeds the largest halo ({F} frames x "
+        f"hop {hop}) available at tile size {F}")
     n_tiles = -(-nL // F)
     nL_pad = n_tiles * F
     xp = jnp.zeros((B, nL_pad * hop, C), x.dtype)
@@ -186,23 +202,26 @@ def fused_lvc_stack(
 
     def triple_specs(block_frames, tail_shape, n_blocks_total):
         """(prev, cur, next) BlockSpecs over a frame-blocked array: cur
-        covers F frame-units per tile; prev/next are ONE frame-unit at
-        the tile edges (a full neighbor tile would double the pipeline
+        covers F frame-units per tile; prev/next are hf frame-units at
+        the tile edges (a full neighbor tile would inflate the pipeline
         VMEM for halo rows that are mostly unused), clamped at the array
-        edges (clamped data lands on masked rows)."""
+        edges (clamped data lands on masked rows). Index maps count in
+        each spec's own block units: hf | F, so tile i's cur block spans
+        halo-block units [i*F/hf, (i+1)*F/hf)."""
         zeros = (0,) * len(tail_shape)
-        last = n_blocks_total - 1
+        per_tile = F // hf
+        last = n_blocks_total // hf - 1
 
         def prev(b, i):
-            return (b, jnp.maximum(i * F - 1, 0)) + zeros
+            return (b, jnp.maximum(i * per_tile - 1, 0)) + zeros
 
         def cur(b, i):
             return (b, i) + zeros
 
         def nxt(b, i):
-            return (b, jnp.minimum(i * F + F, last)) + zeros
+            return (b, jnp.minimum((i + 1) * per_tile, last)) + zeros
 
-        halo_block = (1, block_frames) + tail_shape
+        halo_block = (1, hf * block_frames) + tail_shape
         cur_block = (1, F * block_frames) + tail_shape
         return [
             pl.BlockSpec(halo_block, prev),
@@ -211,7 +230,7 @@ def fused_lvc_stack(
         ]
 
     kernel = functools.partial(
-        _stack_kernel, layers=layers, hop=hop, F=F, C=C, L=L,
+        _stack_kernel, layers=layers, hop=hop, F=F, hf=hf, C=C, L=L,
         fast=fast_gating, interpret=interpret,
     )
     # x/ad are hop-row-blocked (nL_pad blocks); kernels/bias frame-blocked

@@ -18,6 +18,7 @@ TPU-native notes:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -307,7 +308,10 @@ def eps_apply_fused(params, cfg: FastDiffConfig, x, c, ts,
     on XLA; the chains, which the round-2 bisect measured as the serving
     bottleneck (BASELINE.md), run one VMEM-resident program per tile.
     """
-    from lightningfastspeech2_tpu.ops.pallas_fastdiff import fused_lvc_stack
+    from lightningfastspeech2_tpu.ops.pallas_fastdiff import (
+        fused_lvc_stack,
+        pick_halo_frames,
+    )
     from lightningfastspeech2_tpu.vocoder.hifigan import (
         conv1d,
         conv_transpose1d,
@@ -383,33 +387,47 @@ def eps_apply_fused(params, cfg: FastDiffConfig, x, c, ts,
 
         audio_down = downsampled[n_blocks - n - 1]
         reach = sum(3 ** j + 1 for j in range(cfg.lvc_layers_each_block))
-        if cond_hop >= reach:
+        # VMEM budget is set by the per-frame LVC kernel blocks (the
+        # pallas_call takes prev/cur/next windows, double-buffered:
+        # 6x one block lives at once — F=64 at stage 2 requested
+        # 36.85M vs the 16M limit); 16 frames bf16 / 8 f32 keeps the
+        # whole program ~10M with the row tile still >=1k samples
+        if tile_frames:
+            tf = tile_frames
+        elif dtype == jnp.bfloat16:
+            tf = min(16, max(2048 // cond_hop, 4))
+        else:
+            tf = min(8, max(1024 // cond_hop, 4))
+        # Serving default: fuse only the stages whose hop covers the
+        # receptive reach (2 and 3). The kernel CAN fuse the hop-8 first
+        # stage via multi-frame halos (pick_halo_frames hf=8, parity-
+        # tested), but measured on v5e it's a wash at bf16 (23.9 vs 23.7
+        # ms N=4) and ~2 ms SLOWER at f32: the per-frame (8,3C)@(3C,2C)
+        # LVC matmuls underfill the MXU 16x and the stage is too small
+        # (L=Tmel*8) to amortize program overhead — BASELINE.md round-3
+        # continuation. LFS2_FUSED_STAGE1=1 opts in for re-measurement.
+        stage1_opt_in = os.environ.get(
+            "LFS2_FUSED_STAGE1", "0").lower() in ("1", "true", "on")
+        if cond_hop < reach and stage1_opt_in:
+            # halo stages need F > hf or the halo triples the fetch
+            tf = max(tf, 16)
+        if (cond_hop >= reach or stage1_opt_in) and pick_halo_frames(
+                reach, cond_hop, min(tf, nL)) is not None:
             conv_w = jnp.stack(
                 [jnp.asarray(blk[f"conv_{j}"]["kernel"], dtype)
                  for j in range(cfg.lvc_layers_each_block)])
             conv_b = jnp.stack(
                 [jnp.asarray(blk[f"conv_{j}"]["bias"], jnp.float32)
                  for j in range(cfg.lvc_layers_each_block)])
-            # VMEM budget is set by the per-frame LVC kernel blocks (the
-            # pallas_call takes prev/cur/next windows, double-buffered:
-            # 6x one block lives at once — F=64 at stage 2 requested
-            # 36.85M vs the 16M limit); 16 frames bf16 / 8 f32 keeps the
-            # whole program ~10M with the row tile still >=1k samples
-            if tile_frames:
-                tf = tile_frames
-            elif dtype == jnp.bfloat16:
-                tf = min(16, max(2048 // cond_hop, 4))
-            else:
-                tf = min(8, max(1024 // cond_hop, 4))
             h = fused_lvc_stack(
                 h, audio_down, kernels, biases,
                 conv_w, conv_b, cond_hop, fast_gating=cfg.fast_gating,
                 tile_frames=tf, interpret=interpret,
             )
         else:
-            # early stages' hop is smaller than the 4 layers' receptive
-            # reach (stage 1: hop 8 < 44) — a one-frame halo can't cover
-            # them; they are also tiny (L = Tmel*8), so XLA keeps them
+            # a stage only stays on XLA when even a full-tile halo can't
+            # cover the 4 layers' receptive reach (short signals at the
+            # hop-8 first stage, e.g. nL < 6 mel frames)
             for j in range(cfg.lvc_layers_each_block):
                 h = h + audio_down
                 y = lrelu(h, 0.2)

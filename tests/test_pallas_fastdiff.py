@@ -63,6 +63,9 @@ def _make_inputs(rng, B, nL, hop, layers=4, C=32, dtype=jnp.float32):
     (64, 6, 4),     # nL not a tile multiple (tail padding)
     (256, 4, 2),    # stage-3 shape class
     (64, 3, 8),     # single tile larger than the signal
+    (8, 32, 16),    # stage-1 shape class: hop < reach -> hf=8 halo frames
+    (8, 8, 16),     # stage 1, single tile (halo clamps to the tile itself)
+    (8, 24, 12),    # stage 1, hf=6 (non-power-of-2 divisor), multi-tile
 ])
 def test_fused_stack_matches_xla(rng, hop, nL, tile_frames):
     x, ad, kernels, biases, conv_w, conv_b = _make_inputs(
@@ -99,10 +102,15 @@ def test_fused_stack_bf16(rng):
         np.asarray(got, np.float32), np.asarray(ref), rtol=0.1, atol=0.15)
 
 
-def test_eps_apply_fused_matches_model():
+@pytest.mark.parametrize("Tc", [
+    3,    # stage 1 stays on XLA (serving default; also too short to halo)
+    16,   # LFS2_FUSED_STAGE1 opt-in: all three stages on the fused kernel
+])
+def test_eps_apply_fused_matches_model(Tc, monkeypatch):
     """End-to-end eps parity: the fused serving path vs FastDiff.apply
-    (same params) on a full 3-stage config (hop 8/64/256 — stage 1 takes
-    the XLA fallback, stages 2-3 the Pallas kernel)."""
+    (same params) on a full 3-stage config (hop 8/64/256)."""
+    if Tc >= 16:
+        monkeypatch.setenv("LFS2_FUSED_STAGE1", "1")
     from lightningfastspeech2_tpu.vocoder.fastdiff import (
         FastDiff,
         FastDiffConfig,
@@ -111,7 +119,7 @@ def test_eps_apply_fused_matches_model():
 
     cfg = FastDiffConfig()
     model = FastDiff(cfg)
-    Tc, B = 3, 2
+    B = 2
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(size=(B, Tc * cfg.hop_length)), jnp.float32)
     c = jnp.asarray(rng.normal(size=(B, Tc, cfg.cond_channels)), jnp.float32)
@@ -125,8 +133,10 @@ def test_eps_apply_fused_matches_model():
 
 
 def test_layer_reach_guard():
+    # nL=4 at hop 8: even a full-tile halo (4 frames x 8 rows = 32) can't
+    # cover the 44-sample receptive reach -> the kernel must refuse
     x, ad, kernels, biases, conv_w, conv_b = _make_inputs(
-        np.random.default_rng(3), B=1, nL=8, hop=8)
+        np.random.default_rng(3), B=1, nL=4, hop=8)
     with pytest.raises(AssertionError, match="reach"):
         fused_lvc_stack(x, ad, kernels, biases, conv_w, conv_b, 8,
                         interpret=True)
