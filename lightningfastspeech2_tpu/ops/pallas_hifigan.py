@@ -194,6 +194,112 @@ def fused_resblock(
     return out[:, :M]
 
 
+def _resblock_trio_kernel(*refs, shifts, n_res, tile_m, halo, m_total,
+                          interpret):
+    """All three resblocks of one stage from a single input DMA.
+
+    ``shifts`` concatenates the per-conv shift tuples of the ``n_res``
+    resblocks (6 convs each); the outputs are averaged in VMEM so the
+    stage's trio costs one HBM read + one write instead of three reads,
+    three writes and an XLA average pass."""
+    n = len(shifts)
+    x_hbm, w_refs, (bias_ref, o_ref, x_vmem, sem) = (
+        refs[0], refs[1:1 + n], refs[1 + n:])
+    b, i = pl.program_id(0), pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_m, tile_m + 2 * halo), :], x_vmem, sem
+    )
+    cp.start()
+    cp.wait()
+
+    x0 = x_vmem[:]  # (tile_m + 2*halo, D), working dtype
+    tmh = tile_m + 2 * halo
+    gpos = (jax.lax.broadcasted_iota(jnp.int32, (tmh, 1), 0)
+            + i * tile_m - halo)
+    inside = (gpos >= 0) & (gpos < m_total)
+
+    def conv(h, conv_idx):
+        acc = None
+        for t, s in enumerate(shifts[conv_idx]):
+            part = jax.lax.dot_general(
+                h, w_refs[conv_idx][t],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            part = _roll_rows(part, -s, interpret)
+            acc = part if acc is None else acc + part
+        return jnp.where(inside, acc + bias_ref[conv_idx, :][None, :], 0.0)
+
+    n_pairs = n // (2 * n_res)
+    out = None
+    for r in range(n_res):
+        x = x0
+        for pair in range(n_pairs):
+            ci = r * 2 * n_pairs + 2 * pair
+            t = jnp.maximum(x, x * LRELU_SLOPE)
+            t = conv(t, ci)
+            t = jnp.maximum(t, t * LRELU_SLOPE)
+            t = conv(t.astype(x.dtype), ci + 1)
+            x = x + t.astype(x.dtype)
+        out = x if out is None else out + x
+    out = out / float(n_res)
+    o_ref[0] = out[halo:halo + tile_m].astype(o_ref.dtype)
+
+
+def fused_resblock_trio(
+    xf: jnp.ndarray,                          # (B, M, D) folded signal
+    weights: Sequence[jnp.ndarray],           # n_res*6 x (n_taps_i, D, D)
+    shifts: Sequence[Tuple[int, ...]],        # n_res*6 static tap shifts
+    biases: jnp.ndarray,                      # (n_res*6, D) f32, fold-tiled
+    n_res: int = 3,
+    tile_m: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run a whole stage's resblock group (reference ``models.py:141-151``:
+    mean over three ResBlock1 outputs) fused in VMEM.
+
+    Weight/shift/bias sequences are the per-resblock ``resblock_taps``
+    results concatenated in resblock order. Only legal where all
+    ``n_res*6`` tap stacks fit VMEM (D <= 128 for the HiFi-GAN V1 trio);
+    the C=256 first stage must stay on per-resblock ``fused_resblock``."""
+    B, M, D = xf.shape
+    per = len(shifts) // n_res
+    halo = max(
+        sum(max(-min(s), max(s)) for s in shifts[r * per:(r + 1) * per])
+        for r in range(n_res)
+    )
+    halo = -(-halo // 16) * 16
+    tile_m = min(tile_m, -(-M // 16) * 16)
+    m_pad = -(-M // tile_m) * tile_m
+    x_padded = jnp.zeros((B, m_pad + 2 * halo, D), xf.dtype)
+    x_padded = jax.lax.dynamic_update_slice(x_padded, xf, (0, halo, 0))
+
+    grid = (B, m_pad // tile_m)
+    kernel = functools.partial(
+        _resblock_trio_kernel,
+        shifts=tuple(tuple(s) for s in shifts),
+        n_res=n_res, tile_m=tile_m, halo=halo, m_total=M,
+        interpret=interpret,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(weights) + 1),
+        out_specs=pl.BlockSpec(
+            (1, tile_m, D), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, m_pad, D), xf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m + 2 * halo, D), xf.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_padded, *[w for w in weights], biases.astype(jnp.float32))
+    return out[:, :M]
+
+
 def resblock_taps(params, kernel_size: int, dilations: Tuple[int, ...],
                   fold: int, dtype):
     """Prepare (weights, shifts, biases) for ``fused_resblock`` from a

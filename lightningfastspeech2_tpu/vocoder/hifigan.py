@@ -366,7 +366,7 @@ class Generator(nn.Module):
 
 def generator_apply_fused(params, mel, cfg: HifiGanConfig = HifiGanConfig(),
                           dtype=jnp.bfloat16, tile_m: int = 2048,
-                          interpret: bool = False):
+                          interpret: bool = False, use_trio: bool = True):
     """Generator forward with the resblock groups on the fused Pallas
     kernel (ops/pallas_hifigan.py) — same params pytree, same output as
     ``Generator.apply`` at the working dtype.
@@ -376,7 +376,11 @@ def generator_apply_fused(params, mel, cfg: HifiGanConfig = HifiGanConfig(),
     all six convs of each resblock resident in VMEM. bf16 only: at f32
     the per-resblock tap weights for the C=256 stage exceed VMEM.
     """
-    from ..ops.pallas_hifigan import fused_resblock, resblock_taps
+    from ..ops.pallas_hifigan import (
+        fused_resblock,
+        fused_resblock_trio,
+        resblock_taps,
+    )
 
     c = cfg
     p = params["params"]
@@ -398,17 +402,36 @@ def generator_apply_fused(params, mel, cfg: HifiGanConfig = HifiGanConfig(),
         fold = max(128 // ch, 1)
         B, L, _ = x.shape
         xf = x.reshape(B, L // fold, fold * ch)
-        acc = None
-        for j, (k, ds) in enumerate(
-            zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
-        ):
-            rb = p[f"resblocks_{i * n_kernels + j}"]
-            weights, shifts, biases = resblock_taps(
-                rb, k, tuple(ds), fold, dtype)
-            y = fused_resblock(xf, weights, shifts, biases,
-                               tile_m=tile_m, interpret=interpret)
-            acc = y if acc is None else acc + y
-        x = (acc / n_kernels).reshape(B, L, ch)
+        if use_trio and fold * ch <= 128:
+            # whole trio from one input DMA: the stage's three resblocks
+            # (18 convs) stay VMEM-resident and are averaged in-kernel,
+            # saving 2 reads + 2 writes + the XLA average per stage
+            weights, shifts, biases = [], [], []
+            for j, (k, ds) in enumerate(
+                zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+            ):
+                rb = p[f"resblocks_{i * n_kernels + j}"]
+                w_j, s_j, b_j = resblock_taps(rb, k, tuple(ds), fold, dtype)
+                weights += w_j
+                shifts += s_j
+                biases.append(b_j)
+            x = fused_resblock_trio(
+                xf, weights, shifts, jnp.concatenate(biases, axis=0),
+                n_res=n_kernels, tile_m=tile_m, interpret=interpret,
+            ).reshape(B, L, ch)
+        else:
+            # C=256 first stage: the trio's tap stacks exceed VMEM
+            acc = None
+            for j, (k, ds) in enumerate(
+                zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+            ):
+                rb = p[f"resblocks_{i * n_kernels + j}"]
+                weights, shifts, biases = resblock_taps(
+                    rb, k, tuple(ds), fold, dtype)
+                y = fused_resblock(xf, weights, shifts, biases,
+                                   tile_m=tile_m, interpret=interpret)
+                acc = y if acc is None else acc + y
+            x = (acc / n_kernels).reshape(B, L, ch)
     x = nn.leaky_relu(x, 0.01)
     w, b = wb("conv_post")
     x = conv1d(x, w, b, 1, 3)

@@ -96,7 +96,11 @@ def main():
         finally:
             pa._pick_bwd_q_tile = orig
 
-    for tile in (128, 256, 512):
+    tiles = (
+        tuple(int(t) for t in sys.argv[2:]) if len(sys.argv) > 2
+        else (128, 256, 512)
+    )
+    for tile in tiles:
         time_tile(tile)
 
 

@@ -74,3 +74,30 @@ def test_generator_apply_fused_matches_generator():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.05, atol=0.02)
+
+
+@pytest.mark.parametrize("fold,tile_m", [(1, 32), (4, 32), (2, 16)])
+def test_fused_resblock_trio_interpret_matches_xla(fold, tile_m):
+    """Whole-stage trio kernel == mean of the three XLA resblocks."""
+    g = np.random.default_rng(3)
+    C = 8
+    B, M = 2, 72  # M not a multiple of tile_m exercises tail padding
+    specs = [(3, (1, 3, 5)), (7, (1, 3, 5)), (11, (1, 3, 5))]
+    xf = jnp.asarray(g.standard_normal((B, M, fold * C)), jnp.float32)
+    weights, shifts, biases, ref = [], [], [], None
+    for i, (k, ds) in enumerate(specs):
+        rb = hg.ResBlock1(C, k, ds, jnp.float32, fold)
+        params = rb.init(jax.random.PRNGKey(i), xf)
+        y = rb.apply(params, xf)
+        ref = y if ref is None else ref + y
+        w_i, s_i, b_i = pk.resblock_taps(
+            params["params"], k, ds, fold, jnp.float32)
+        weights += w_i
+        shifts += s_i
+        biases.append(b_i)
+    ref = ref / len(specs)
+    out = pk.fused_resblock_trio(
+        xf, weights, shifts, jnp.concatenate(biases, axis=0),
+        n_res=len(specs), tile_m=tile_m, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
