@@ -415,9 +415,14 @@ def generator_apply_fused(params, mel, cfg: HifiGanConfig = HifiGanConfig(),
                 weights += w_j
                 shifts += s_j
                 biases.append(b_j)
+            # measured on v5e (scripts/profile_trio.py, B=4 Tmel=1024):
+            # tile 1024 beats 2048 (1,430 vs 1,385 audio-s/s — the trio's
+            # 18 resident tap stacks leave less VMEM for the signal tile)
+            # and 4096 fails to compile; cap the trio tile at 1024
             x = fused_resblock_trio(
                 xf, weights, shifts, jnp.concatenate(biases, axis=0),
-                n_res=n_kernels, tile_m=tile_m, interpret=interpret,
+                n_res=n_kernels, tile_m=min(tile_m, 1024),
+                interpret=interpret,
             ).reshape(B, L, ch)
         else:
             # C=256 first stage: the trio's tap stacks exceed VMEM
