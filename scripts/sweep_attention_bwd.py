@@ -67,6 +67,15 @@ def main():
         ) * 1e-30
 
     def time_tile(tile):
+        if T % tile != 0:
+            # the bwd grid is T // Tq with no tail masking: a
+            # non-dividing tile silently skips the last T % tile query
+            # rows, returning garbage dq there and a fake speedup (the
+            # first 384 sweep "won" by 3.5% ~= the 6.25% of rows it
+            # dropped, partially offset by fixed costs)
+            print(f"tile {tile:4d}: SKIPPED (does not divide T={T}; "
+                  f"grid would drop {T % tile} query rows)")
+            return
         orig = pa._pick_bwd_q_tile
         pa._pick_bwd_q_tile = lambda t: tile
         try:
