@@ -322,8 +322,40 @@ def fastspeech2_27m() -> Config:
     return Config(model=model)
 
 
-def lightspeech_76m() -> Config:
-    """Multi-speaker LightSpeech 76M with depthwise-separable convs and
-    d-vectors (reference README.md:10, scripts/train.sh)."""
+def lightspeech_flagship() -> Config:
+    """Multi-speaker LightSpeech flagship: depthwise-separable convs +
+    d-vectors at reference-HEAD default dims (reference README.md:10,
+    scripts/train.sh).
+
+    measured_params = 7.9M. The reference README claims "76M" for this
+    config but neither 27M nor 76M is reachable from any in-tree reference
+    config (BASELINE.md "Param-count correction"); the measured count is
+    authoritative and is emitted as ``n_params`` in bench output. For a
+    genuinely 76M-class model use :func:`lightspeech_true76m`.
+    """
     model = ModelConfig(speaker_type="dvector", n_speakers=2500)
+    return Config(model=model)
+
+
+# Deprecated alias: the name mirrors the reference README's (unreproducible)
+# "76M" claim; kept for continuity with rounds 1-3 scripts/benches.
+lightspeech_76m = lightspeech_flagship
+
+
+def lightspeech_true76m() -> Config:
+    """A genuinely 76M-parameter LightSpeech-style config (measured 76.6M
+    via ``jax.eval_shape`` param count): hidden 640, 8 encoder + 7 decoder
+    depthwise-conformer layers, conv filter 2560 (= 4x hidden — the grouped
+    conv fold requires filter % hidden == 0), d-vectors over 2500 speakers.
+
+    This realises the reference README's 76M-class scale target
+    (reference README.md:10) which no in-tree reference config reaches;
+    used by bench.py for the north-star "audio-s/s at 76M" row.
+    """
+    base = ModelConfig(speaker_type="dvector", n_speakers=2500)
+    enc = replace(base.encoder, hidden=640, layers=8, conv_filter_size=2560,
+                  kernel_sizes=(5, 25, 13, 9, 17, 21, 9, 13))
+    dec = replace(base.decoder, hidden=640, layers=7, conv_filter_size=2560,
+                  kernel_sizes=(17, 21, 9, 13, 5, 25, 13))
+    model = dataclasses.replace(base, encoder=enc, decoder=dec)
     return Config(model=model)

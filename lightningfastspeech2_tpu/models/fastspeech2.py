@@ -306,3 +306,24 @@ def make_dummy_batch(cfg: ModelConfig, batch_size: int = 2, n_phones: int = 32,
     for prior in cfg.priors:
         batch[f"priors_{prior}"] = g.standard_normal(batch_size).astype(np.float32)
     return batch
+
+
+def count_params(mcfg: ModelConfig, dtype=jnp.float32) -> int:
+    """Exact parameter count via ``jax.eval_shape`` (no FLOPs, no memory).
+
+    Used by bench.py to emit ``n_params`` next to every throughput row so
+    machine-readable outputs carry the measured scale (the reference
+    README's 27M/76M claims are not reproducible from its configs —
+    BASELINE.md "Param-count correction")."""
+    model = FastSpeech2(mcfg, dtype=dtype)
+    batch = make_dummy_batch(mcfg, batch_size=1,
+                             n_phones=max(mcfg.max_phones - 8, 1))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "sdp": jax.random.PRNGKey(2)}
+    shapes = jax.eval_shape(
+        lambda: model.init(rngs, batch, deterministic=True))
+    import numpy as np
+
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(shapes)))

@@ -32,6 +32,13 @@ import numpy as np
 
 LRELU_SLOPE = 0.1
 
+# Cap on the trio-fused stage kernel's signal tile (generator_apply_fused):
+# measured on v5e (scripts/profile_trio.py, B=4 Tmel=1024, bf16) tile 1024
+# beats 2048 (1,430 vs 1,385 audio-s/s — the trio's 18 resident tap stacks
+# leave less VMEM for the signal tile) and 4096 fails to compile. Callers
+# tuning tile_m on a larger-VMEM chip should raise this constant too.
+TRIO_TILE_CAP = 1024
+
 
 @dataclass(frozen=True)
 class HifiGanConfig:
@@ -375,6 +382,10 @@ def generator_apply_fused(params, mel, cfg: HifiGanConfig = HifiGanConfig(),
     MFU on v5e); the kernel runs them in a folded (L/f, f*C) layout with
     all six convs of each resblock resident in VMEM. bf16 only: at f32
     the per-resblock tap weights for the C=256 stage exceed VMEM.
+
+    ``tile_m`` applies as given to the per-resblock kernel (C=256 stage);
+    trio-fused stages clamp it to ``TRIO_TILE_CAP`` (module constant, see
+    its comment for the v5e measurement behind the cap).
     """
     from ..ops.pallas_hifigan import (
         fused_resblock,
@@ -415,13 +426,9 @@ def generator_apply_fused(params, mel, cfg: HifiGanConfig = HifiGanConfig(),
                 weights += w_j
                 shifts += s_j
                 biases.append(b_j)
-            # measured on v5e (scripts/profile_trio.py, B=4 Tmel=1024):
-            # tile 1024 beats 2048 (1,430 vs 1,385 audio-s/s — the trio's
-            # 18 resident tap stacks leave less VMEM for the signal tile)
-            # and 4096 fails to compile; cap the trio tile at 1024
             x = fused_resblock_trio(
                 xf, weights, shifts, jnp.concatenate(biases, axis=0),
-                n_res=n_kernels, tile_m=min(tile_m, 1024),
+                n_res=n_kernels, tile_m=min(tile_m, TRIO_TILE_CAP),
                 interpret=interpret,
             ).reshape(B, L, ch)
         else:
