@@ -359,3 +359,33 @@ def lightspeech_true76m() -> Config:
                   kernel_sizes=(17, 21, 9, 13, 5, 25, 13))
     model = dataclasses.replace(base, encoder=enc, decoder=dec)
     return Config(model=model)
+
+
+def canonical_joint() -> Config:
+    """The reference's CANONICAL experiment composition (reference
+    scripts/train.sh:44-55): flagship acoustic stack (256 hidden, 4 enc +
+    6 dec depthwise layers, d-vectors) + FastDiff vocoder fine-tuning +
+    diffusion variance adaptor (4 frame-level variances) + diffusion
+    speaker generator. Measured ~28.5M params total (BASELINE.md
+    "Param-count correction" instantiated the actual torch modules).
+    Benched by bench.py as the joint-composition scale row."""
+    base = lightspeech_flagship().model
+    var = replace(
+        base.variance,
+        variances=("pitch", "energy", "snr", "srmr"),
+        levels=("frame",) * 4,
+        transforms=("none",) * 4,
+        losses=("mse",) * 4,
+        nlayers=(5, 5, 5, 5),
+        kernel_sizes=(5, 5, 5, 5),
+        dropouts=(0.1,) * 4,
+        loss_weights=(1.0,) * 4,
+    )
+    dec = replace(base.decoder, layers=6, kernel_sizes=(9,) * 6)
+    dur = replace(base.duration, nlayers=5)
+    model = dataclasses.replace(
+        base, variance=var, decoder=dec, duration=dur,
+        fastdiff_vocoder=True, fastdiff_variances=True,
+        fastdiff_speakers=True,
+    )
+    return Config(model=model)

@@ -146,6 +146,7 @@ class FastDiffVarianceAdaptor(nn.Module):
         targets: Optional[Dict[str, jnp.ndarray]] = None,
         inference: bool = False,
         deterministic: bool = True,
+        duration_only: bool = False,
     ) -> Dict[str, Any]:
         result: Dict[str, Any] = {}
         diff = _DiffusionSignal(self.T)
@@ -178,6 +179,15 @@ class FastDiffVarianceAdaptor(nn.Module):
                 duration_rounded, phone_mask
             )
             result["duration_z"] = None
+
+        if duration_only:
+            # bucketed-serving duration pass (see VarianceAdaptor): the
+            # sampled durations depend on nothing past this point
+            assert inference, "duration_only is an inference-serving path"
+            return dict(
+                duration_prediction=duration_pred,
+                duration_rounded=duration_rounded,
+            )
 
         x, frame_mask = lr.regulate(x, duration_rounded, self.max_frames)
 

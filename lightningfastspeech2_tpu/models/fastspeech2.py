@@ -56,6 +56,7 @@ class FastSpeech2(nn.Module):
         oracles: Tuple[str, ...] = (),
         controls: Optional[Dict[str, float]] = None,
         deterministic: bool = True,
+        duration_only: bool = False,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         phones = batch["phones"]  # (B, P) int32, 0 = [PAD]
@@ -164,6 +165,7 @@ class FastSpeech2(nn.Module):
                 batch,
                 inference=inference,
                 deterministic=deterministic,
+                duration_only=duration_only,
             )
         else:
             adaptor_out = VarianceAdaptor(
@@ -184,7 +186,18 @@ class FastSpeech2(nn.Module):
                 oracles=oracles,
                 controls=controls,
                 deterministic=deterministic,
+                duration_only=duration_only,
             )
+
+        if duration_only:
+            # serving duration pass: predicted durations only (the frame
+            # bucket chooser in synthesis/generator.py) — no length
+            # regulation, no decoder, no mel head
+            return {
+                "duration_prediction": adaptor_out["duration_prediction"],
+                "duration_rounded": adaptor_out["duration_rounded"],
+                "phone_mask": phone_mask,
+            }
 
         y = adaptor_out["x"]
         frame_mask = adaptor_out["frame_mask"]

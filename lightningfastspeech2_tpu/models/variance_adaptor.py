@@ -300,6 +300,7 @@ class VarianceAdaptor(nn.Module):
         oracles: Tuple[str, ...] = (),
         controls: Optional[Dict[str, float]] = None,
         deterministic: bool = True,
+        duration_only: bool = False,
     ) -> Dict[str, Any]:
         c = self.cfg
         controls = controls or {}
@@ -339,6 +340,26 @@ class VarianceAdaptor(nn.Module):
                 self.duration_cfg.dropout, self.duration_cfg.depthwise,
                 False, self.dtype, name="duration_predictor",
             )(x, phone_mask, deterministic)
+
+        if duration_only:
+            # bucketed-serving duration pass (SpeechGenerator): only the
+            # rounded durations are needed to pick the frame bucket, and
+            # they depend on nothing past this point (the phone-level
+            # variance encoders modify x AFTER duration prediction), so
+            # skip the length regulator, the variance towers, and — in
+            # the caller — the whole decoder. apply-time only (params
+            # init always runs the full path).
+            assert inference, "duration_only is an inference-serving path"
+            if not self.duration_cfg.stochastic:
+                duration_rounded = lr.round_durations_deterministic(duration_pred)
+            else:
+                duration_rounded = lr.round_durations_stochastic(duration_pred)
+            duration_rounded = jnp.where(phone_mask, duration_rounded, 0)
+            duration_rounded = lr.rescue_zero_durations(duration_rounded, phone_mask)
+            return dict(
+                duration_prediction=duration_pred,
+                duration_rounded=duration_rounded,
+            )
 
         # --------------------------------------- phone-level variances
         out_val = None

@@ -68,6 +68,48 @@ class SpeechGenerator:
                 rngs={"sdp": rng},
             )
         )
+        # Frame-bucketed serving (VERDICT r3 item 7): the acoustic pass at
+        # a full max_frames bucket pays a ~4x padding tax at realistic
+        # utterance lengths (BENCH_r03: 6,024 vs 24,406 audio-s/s). Two
+        # passes instead: a cheap duration-only program (encoder + duration
+        # tower, no length regulation / decoder / mel head) picks the frame
+        # bucket, then a per-bucket-compiled full program synthesizes at
+        # the right-sized static T. Durations re-predicted in pass 2 are
+        # bit-identical (same params, same rng); if a prediction still
+        # exceeds the bucket the length regulator truncates — the same
+        # bounded-length contract as the reference's max_len clamp
+        # (reference model.py:355). Opt out with LFS2_SERVE_BUCKETS=0.
+        import os as _os
+
+        self.frame_bucketing = _os.environ.get(
+            "LFS2_SERVE_BUCKETS", "1").lower() not in ("0", "false", "off")
+        self._dur_infer = jax.jit(
+            lambda params, batch, rng: self.model.apply(
+                {"params": params}, batch, inference=True, deterministic=True,
+                duration_only=True, rngs={"sdp": rng},
+            ),
+            static_argnames=(),
+        )
+        self._bucket_infer: Dict[int, Callable] = {}
+
+    def _infer_at(self, T: int) -> Callable:
+        """Jitted full-inference program with max_frames=T (params shared —
+        T only changes activation shapes, never the param tree)."""
+        if T >= self.cfg.model.max_frames:
+            return self._infer
+        fn = self._bucket_infer.get(T)
+        if fn is None:
+            model_T = self.model.clone(
+                cfg=C.replace(self.cfg.model, max_frames=T)
+            )
+            fn = jax.jit(
+                lambda params, batch, rng: model_T.apply(
+                    {"params": params}, batch, inference=True,
+                    deterministic=True, rngs={"sdp": rng},
+                )
+            )
+            self._bucket_infer[T] = fn
+        return fn
 
     @property
     def sampling_rate(self) -> int:
@@ -171,7 +213,15 @@ class SpeechGenerator:
 
     def generate_samples(self, batch: Dict[str, np.ndarray]) -> List[np.ndarray]:
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        result = self._infer(self.params, jbatch, jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(0)
+        if self.frame_bucketing:
+            durs = self._dur_infer(self.params, jbatch, rng)
+            need = int(np.max(np.asarray(
+                jnp.sum(durs["duration_rounded"], axis=-1))))
+            T = self.bucketer.frame_bucket(need)
+            result = self._infer_at(T)(self.params, jbatch, rng)
+        else:
+            result = self._infer(self.params, jbatch, rng)
         mel_out = result["mel"]
         if "fastdiff_var" in result:
             # FastDiff-conditioned checkpoints vocode mel + the x0.1

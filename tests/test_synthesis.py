@@ -142,3 +142,71 @@ def test_generate_from_text_end_to_end(tmp_path):
     out = tmp_path / "out.wav"
     gen.save_audio(out, wav)
     assert out.exists()
+
+
+def test_bucketed_serving_matches_full_bucket():
+    """Frame-bucketed serving (duration pass -> per-bucket program) must
+    produce the same audio as the full-max_frames program: durations are
+    re-predicted bit-identically in pass 2 (same params/rng), and masked
+    positions are zeroed before every conv/attention, so a smaller static
+    T changes only padding, never valid frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightningfastspeech2_tpu.core import config as C
+    from lightningfastspeech2_tpu.core.bucketing import Bucketer
+    from lightningfastspeech2_tpu.data.vocab import Vocab
+    from lightningfastspeech2_tpu.models.fastspeech2 import (
+        FastSpeech2, init_params, make_dummy_batch,
+    )
+    from lightningfastspeech2_tpu.synthesis.generator import SpeechGenerator
+    from tests.test_model import tiny_config
+
+    cfg = tiny_config(max_frames=128)
+    model = FastSpeech2(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in make_dummy_batch(cfg.model, 1, 8).items()}
+    params = init_params(model, jax.random.PRNGKey(0), batch)["params"]
+
+    g2p = EnglishG2P()
+    phones = sorted(set(g2p("hello world this is a test.")))
+    vocab = Vocab(phones)
+    gen = SpeechGenerator(
+        cfg, model, params, vocab, g2p,
+        speaker2dvector={"spk0": np.zeros(16, np.float32)},
+    )
+    # fine frame buckets so an untrained model's short predictions land in
+    # a bucket well below max_frames (the default 256-step ladder would
+    # collapse to one bucket at this tiny max_frames)
+    gen.bucketer = Bucketer(cfg.model.max_phones, cfg.model.max_frames,
+                            frame_step=16)
+
+    ids = gen.text_to_ids("hello world.")
+    P = gen.bucketer.phone_bucket(len(ids))
+    from lightningfastspeech2_tpu.core.bucketing import pad_to
+
+    b = {"phones": pad_to(ids, P)[None, :],
+         "speaker": np.zeros((1, 16), np.float32)}
+
+    # duration pass alone agrees with the full program's durations
+    jb = {k: jnp.asarray(v) for k, v in b.items()}
+    rng = jax.random.PRNGKey(0)
+    d_pass = gen._dur_infer(gen.params, jb, rng)
+    full = gen._infer(gen.params, jb, rng)
+    np.testing.assert_array_equal(
+        np.asarray(d_pass["duration_rounded"]),
+        np.asarray(full["duration_rounded"]),
+    )
+
+    gen.frame_bucketing = True
+    wav_bucketed = gen.generate_samples(b)[0]
+    assert gen._bucket_infer, "bucketed path not exercised (bucket==max?)"
+    gen.frame_bucketing = False
+    wav_full = gen.generate_samples(b)[0]
+    assert wav_bucketed.shape == wav_full.shape
+    # different static T changes XLA reduction/fusion tiling, so outputs
+    # differ by float32 accumulation order (~1e-4), never semantics
+    np.testing.assert_allclose(wav_bucketed, wav_full, rtol=2e-3, atol=2e-3)
+    err = np.linalg.norm(wav_bucketed - wav_full)
+    snr = 20 * np.log10(np.linalg.norm(wav_full) / max(err, 1e-12))
+    assert snr > 55.0, f"bucketed-vs-full SNR {snr:.1f} dB"
