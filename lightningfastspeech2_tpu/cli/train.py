@@ -145,6 +145,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int,
                    default=max((_os.cpu_count() or 2) - 2, 2))
     p.add_argument("--prefetch", type=int, default=4)
+    p.add_argument("--mel_transfer_dtype", type=str, default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="collated-mel storage dtype; auto = bfloat16 when "
+                        "--precision bf16 (halves the dominant batch "
+                        "payload; see DataConfig.mel_dtype)")
     p.add_argument("--swa", type=str2bool, default=False,
                    help="stochastic weight averaging over the last 25% of "
                         "steps (reference train.py:282-283)")
@@ -291,6 +296,9 @@ def main(argv=None):
         min_samples_per_speaker=args.train_min_samples_per_speaker,
         stat_entries=args.stat_entries,
         raw_mode=args.on_device_features,
+        mel_dtype=("bfloat16" if args.precision in ("bf16", "16")
+                   else "float32") if args.mel_transfer_dtype == "auto"
+        else args.mel_transfer_dtype,
         # joint vocoder training conditions on mel AND noises the waveform
         load_wav=args.fastdiff_vocoder,
         seed=args.seed,

@@ -241,6 +241,9 @@ def main(argv=None) -> None:
         mel = wav_to_mel(wav)
         metrics = trainer.train_step(mel, wav)
         if step % args.log_every == 0 or step == args.max_steps - 1:
+            # metrics are device scalars; float() only here so the hot
+            # loop never waits on a host read (remote-tunnel RTT)
+            metrics = {k: float(v) for k, v in metrics.items()}
             now = time.perf_counter()
             done = step - last_log_step
             metrics["steps_per_s"] = done / (now - t_last) if done else 0.0

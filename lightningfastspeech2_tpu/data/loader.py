@@ -78,6 +78,16 @@ def batch_index_stream(
 
 
 def _worker_init(payload: bytes, seed: int, counter) -> None:
+    # Deprioritize workers: on small hosts (this machine: 4 cores) worker
+    # DSP at full priority starves the main process's TPU-runtime client
+    # threads — measured 547 ms/step dispatch stalls with 3 workers on 4
+    # cores vs 25 ms with none (scripts/profile_train_loop.py, round 4).
+    # Niced workers still fill the prefetch queue (batch production is
+    # ~10 ms cache-warm) but always yield the CPU to dispatch/transfer.
+    try:
+        os.nice(10)
+    except OSError:
+        pass
     # CPU backend only: workers must never touch the (possibly remote) TPU.
     # Belt and braces: some environments pre-import jax from sitecustomize
     # and reset jax_platforms AFTER env vars are read, so pin the config
@@ -131,7 +141,12 @@ class PrefetchLoader:
         self.seed = seed
         self.epochs = epochs
         self.sort_by_length = sort_by_length
-        self.num_workers = max(1, num_workers)
+        # leave >=2 cores for the main process: the TPU runtime's
+        # dispatch/transfer threads are CPU-hungry (remote backends
+        # serialize every batch) and worker oversubscription collapses
+        # the delivered step rate (see _worker_init nice note)
+        core_cap = max(1, (os.cpu_count() or 4) - 2)
+        self.num_workers = max(1, min(num_workers, core_cap))
         self.prefetch = max(1, prefetch)
         self._pool: Optional[ProcessPoolExecutor] = None
 

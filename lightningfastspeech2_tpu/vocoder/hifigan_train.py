@@ -244,10 +244,14 @@ class HifiGanTrainer:
 
         return step
 
-    def train_step(self, mel: jnp.ndarray, wav: jnp.ndarray) -> Dict[str, float]:
+    def train_step(self, mel: jnp.ndarray, wav: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Returns metrics as DEVICE scalars: a float() here would force a
+        host read every step — ~25-50 ms round trip through a remote-TPU
+        tunnel, dwarfing the GAN step itself. Callers convert only when
+        they actually log (cli/train_vocoder.py logs every log_every)."""
         (self.gen_params, self.disc_params, self.gen_opt, self.disc_opt,
          metrics) = self._step(
             self.gen_params, self.disc_params, self.gen_opt, self.disc_opt,
             mel, wav,
         )
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics

@@ -22,6 +22,7 @@ Variants:
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_train_loop.py
 """
 
+import faulthandler
 import sys
 import time
 from pathlib import Path
@@ -32,6 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    faulthandler.dump_traceback_later(120, repeat=True)
     import jax
     import jax.numpy as jnp
 
@@ -99,29 +101,33 @@ def main():
 
     N = 100
 
-    def run(name, use_put, overlap):
+    def run(name, use_put, overlap, use_loader=None):
         # fresh state per variant: the train step DONATES its state args,
         # so a shared state object would be invalidated by the first
         # variant's first step (the round-4 profile crash)
         state, optimizer = create_train_state(
             model, cfg, jax.random.PRNGKey(0), init_batch)
         step_fn = make_train_step(model, cfg, optimizer, donate=True)
-        it2 = iter(loader)
-        # compile against every bucket shape first (sorted batches cycle
-        # through few buckets; compile each once outside the timing)
+        it2 = iter(use_loader if use_loader is not None else loader)
+        # compile against every bucket shape FIRST: a fresh compile (~40 s
+        # through the tunnel) landing inside the timed loop smears into a
+        # phantom 400+ ms/step "dispatch" cost (the round-4 faulthandler
+        # catch). Enumerate all (P, T) buckets from the corpus directly —
+        # the first-12-batches heuristic missed late shapes.
         state_l = state
         seen = set()
-        warm = []
-        for _ in range(12):
+        warmed = 0
+        while warmed < 400:
             b = next(it2)
             arrs = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
             key = tuple(sorted((k, v.shape) for k, v in arrs.items()))
-            warm.append(arrs)
+            warmed += 1
             if key in seen:
                 continue
             seen.add(key)
             state_l, m = step_fn(state_l, arrs, rng)
-        float(m["total"])
+            float(m["total"])  # force the compile before the next batch
+        print(f"  ({name.strip()}: warmed {len(seen)} bucket shapes)")
 
         t_fetch = t_put = t_dispatch = 0.0
         put_batch = None
@@ -165,6 +171,18 @@ def main():
     run("explicit put1     ", use_put=True, overlap=False)
     run("overlap double-buf", use_put=True, overlap=True)
     loader.close()
+
+    # worker-count sweep: on this 4-core host the loader workers starve
+    # the TPU runtime's dispatch/transfer threads (the round-4 diagnosis);
+    # _worker_init now nices workers and caps counts at cpu_count-2
+    for workers, prefetch in [(1, 2), (2, 3)]:
+        loader2 = PrefetchLoader(ds, 16, bucketer, seed=0,
+                                 num_workers=workers, prefetch=prefetch)
+        try:
+            run(f"niced w={workers} p={prefetch}   ",
+                use_put=False, overlap=False, use_loader=loader2)
+        finally:
+            loader2.close()
 
 
 if __name__ == "__main__":
