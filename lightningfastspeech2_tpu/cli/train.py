@@ -150,6 +150,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="collated-mel storage dtype; auto = bfloat16 when "
                         "--precision bf16 (halves the dominant batch "
                         "payload; see DataConfig.mel_dtype)")
+    p.add_argument("--wav_transfer_dtype", type=str, default="int16",
+                   choices=("float32", "int16"),
+                   help="waveform transfer dtype when batches carry audio "
+                        "(joint FastDiff / --on_device_features); int16 "
+                        "quarters the payload, dequantized on device")
     p.add_argument("--swa", type=str2bool, default=False,
                    help="stochastic weight averaging over the last 25% of "
                         "steps (reference train.py:282-283)")
@@ -299,6 +304,7 @@ def main(argv=None):
         mel_dtype=("bfloat16" if args.precision in ("bf16", "16")
                    else "float32") if args.mel_transfer_dtype == "auto"
         else args.mel_transfer_dtype,
+        wav_dtype=args.wav_transfer_dtype,
         # joint vocoder training conditions on mel AND noises the waveform
         load_wav=args.fastdiff_vocoder,
         seed=args.seed,

@@ -79,6 +79,14 @@ class DataConfig:
     # rounding is far below the mel-L1 losses being optimized). The train
     # CLI defaults this to bfloat16 whenever --precision bf16.
     mel_dtype: str = "float32"
+    # waveform transfer dtype when load_wav/raw_mode ships audio: "int16"
+    # quarters the wav payload vs float32 (the source files ARE 16-bit;
+    # only the load-time peak-norm scaling makes re-quantization lossy, at
+    # <1/65536). Consumers dequantize on device (data/wav.py:dequantize).
+    # The joint FastDiff batch at B=16, T=512 ships 8.4 MB of float32 wav
+    # per step — ~240 ms at tunnel bandwidth — so this matters more than
+    # the mel shrink for joint training.
+    wav_dtype: str = "float32"
 
 
 @dataclass
@@ -863,4 +871,8 @@ def _shrink_transfer(batch: Dict[str, np.ndarray],
         import ml_dtypes
 
         batch["mel"] = batch["mel"].astype(ml_dtypes.bfloat16)
+    if cfg.wav_dtype == "int16" and "wav" in batch:
+        batch["wav"] = np.clip(
+            batch["wav"] * 32768.0, -32768, 32767
+        ).astype(np.int16)
     return batch

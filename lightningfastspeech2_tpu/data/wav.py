@@ -46,3 +46,14 @@ def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
         return wav
     g = math.gcd(orig_sr, target_sr)
     return resample_poly(wav, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def dequantize(wav):
+    """Device-side inverse of the int16 transfer encoding (see
+    DataConfig.wav_dtype): integer waveforms become float32 in [-1, 1);
+    float inputs pass through. Works on jax or numpy arrays."""
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        return wav.astype(jnp.float32) / 32768.0
+    return wav

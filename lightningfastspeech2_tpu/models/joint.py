@@ -69,7 +69,9 @@ class JointFastSpeech2FastDiff(nn.Module):
         # truncate by the batch's longest mel length - 2 (fastspeech2.py:748)
         T = mel_cond.shape[1] - 2
         mel_cond = mel_cond[:, :T]
-        wav = batch["wav"][:, : T * hop]
+        from lightningfastspeech2_tpu.data.wav import dequantize
+
+        wav = dequantize(batch["wav"])[:, : T * hop]
         mel_lengths = jnp.sum(frame_mask, axis=1)
         wav_mask = (
             jnp.arange(T * hop)[None, :]

@@ -140,12 +140,16 @@ def extract_batch_features(
 def augment_batch_with_features(batch, cfg: Config, stats: StatsTree):
     """Replace/insert feature arrays computed from batch['wav']; call
     inside a jitted step. Requires 'wav', 'duration', 'silence_phone'."""
-    max_frames = batch["wav"].shape[1] // cfg.model.audio.hop_length
+    from lightningfastspeech2_tpu.data.wav import dequantize
+
+    wav = dequantize(batch["wav"])  # int16 transfer encoding, if any
+    max_frames = wav.shape[1] // cfg.model.audio.hop_length
     max_frames = min(max_frames, cfg.model.max_frames)
     feats = extract_batch_features(
-        batch["wav"], batch["duration"], batch["silence_phone"], cfg, stats,
+        wav, batch["duration"], batch["silence_phone"], cfg, stats,
         max_frames, phones_lengths=batch.get("phones_lengths"),
     )
     out = dict(batch)
+    out["wav"] = wav
     out.update(feats)
     return out

@@ -246,3 +246,60 @@ def test_feature_cache_roundtrip(corpus, tmp_path):
     item2 = ds2[0]
     for k in ("mel", "variances_pitch", "variances_energy", "variances_snr"):
         np.testing.assert_array_equal(item1[k], item2[k])
+
+
+def test_collate_transfer_shrink_int16_wav_and_bf16_mel(tmp_path):
+    """The transfer-shrink encodings (DataConfig.mel_dtype/wav_dtype) must
+    round-trip: int16 wav dequantizes to within 1/32768 of the float
+    original, bf16 mel to within bf16 rounding; index arrays ship int32."""
+    import ml_dtypes
+    import numpy as np
+
+    from lightningfastspeech2_tpu.data.dataset import DataConfig, collate
+    from lightningfastspeech2_tpu.data.wav import dequantize
+
+    cfg = DataConfig(raw_mode=True, speaker_type="none",
+                     mel_dtype="bfloat16", wav_dtype="int16")
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(2):
+        n_ph = 4 + i
+        dur = rng.integers(1, 4, n_ph)
+        items.append({
+            "id": f"u{i}",
+            "phones": np.arange(1, n_ph + 1, dtype=np.int64),
+            "duration": dur.astype(np.int64),
+            "silence_phone": np.zeros(n_ph, bool),
+            "wav": rng.uniform(-0.9, 0.9,
+                               int(dur.sum()) * 256).astype(np.float32),
+        })
+    batch = collate(items, cfg)
+    assert batch["phones"].dtype == np.int32
+    assert batch["duration"].dtype == np.int32
+    assert batch["wav"].dtype == np.int16
+    deq = np.asarray(dequantize(batch["wav"]))
+    n = len(items[0]["wav"])
+    np.testing.assert_allclose(deq[0, :n], items[0]["wav"], atol=1 / 32768)
+
+    # non-raw path: bf16 mel
+    cfg2 = DataConfig(speaker_type="none", mel_dtype="bfloat16",
+                      variances=(), variance_levels=(),
+                      variance_transforms=())
+    items2 = []
+    for i in range(2):
+        n_ph = 3
+        dur = rng.integers(1, 4, n_ph)
+        T = int(dur.sum())
+        items2.append({
+            "id": f"v{i}",
+            "phones": np.arange(1, n_ph + 1, dtype=np.int64),
+            "duration": dur.astype(np.int64),
+            "silence_mask": np.zeros(T, bool),
+            "mel": rng.standard_normal((T, 80)).astype(np.float32),
+        })
+    b2 = collate(items2, cfg2)
+    assert b2["mel"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_allclose(
+        b2["mel"][0, : items2[0]["mel"].shape[0]].astype(np.float32),
+        items2[0]["mel"], rtol=1e-2, atol=1e-2,
+    )
