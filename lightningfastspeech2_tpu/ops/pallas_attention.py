@@ -46,30 +46,33 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _seed_for(seed, b, h, qt, n_h, n_qt):
-    return seed + ((b * n_h + h) * n_qt + qt)
+def _dropout_keep(shape, rate, seed_bh, row0, col0=0):
+    """Tiling-INVARIANT keep mask at probability (1 - rate).
 
+    Counter-based xorshift-multiply hash keyed on the GLOBAL (query row,
+    key col) coordinates plus a per-(batch, head) seed. Any kernel tiling
+    — forward q-tiles, backward q-tiles of a different size, or k-major
+    tiles slicing the transposed pattern — reproduces the identical mask
+    by passing its block's global offsets.
 
-def _dropout_keep(shape, rate, seed, interpret):
-    """uint32 draw -> keep mask at probability (1 - rate).
-
-    Compiled mode uses the TPU hardware PRNG (seeded by the caller via
-    ``pltpu.prng_seed``).  Interpret mode (CPU tests) lacks those
-    primitives, so it falls back to a counter-based xorshift-multiply
-    hash in plain jnp — weaker statistics, same fwd/bwd determinism."""
+    This replaced the per-tile hardware-PRNG scheme in round 4: the
+    forward picks Tq=512 under dropout at T=2048 while the backward's
+    VMEM budget forces Tq=256, so tile-indexed seeding produced DIFFERENT
+    masks in forward and backward (biased dropout gradients at exactly
+    the decoder's training shape). Position hashing is the same recipe
+    the fused-FFN training kernel uses (ops/pallas_ffn.py).
+    """
     threshold = jnp.uint32(min(int(rate * (2.0 ** 32)), 2 ** 32 - 1))
-    if interpret:
-        r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-        c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        x = (r * jnp.uint32(2654435761) ^ c) + seed.astype(jnp.uint32)
-        x ^= x >> 16
-        x *= jnp.uint32(2246822519)
-        x ^= x >> 13
-        x *= jnp.uint32(3266489917)
-        x ^= x >> 16
-        return x >= threshold
-    bits = pltpu.prng_random_bits(shape)
-    return pltpu.bitcast(bits, jnp.uint32) >= threshold
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(col0)
+    x = (r * jnp.uint32(2654435761)) ^ (c * jnp.uint32(1013904223))
+    x = x + seed_bh.astype(jnp.uint32)
+    x ^= x >> 16
+    x *= jnp.uint32(2246822519)
+    x ^= x >> 13
+    x *= jnp.uint32(3266489917)
+    x ^= x >> 16
+    return x >= threshold
 
 
 def _probs(q, kT, key_valid, scale):
@@ -95,11 +98,9 @@ def _fwd_kernel(mask_ref, seed_ref, q_ref, kT_ref, v_ref, o_ref,
     p = jnp.exp(s)
     denom = jnp.sum(p, axis=1, keepdims=True)
     if rate > 0.0:
-        tile_seed = _seed_for(seed_ref[0], b, h, qt,
-                              pl.num_programs(1), pl.num_programs(2))
-        if not interpret:
-            pltpu.prng_seed(tile_seed)
-        keep = _dropout_keep(p.shape, rate, tile_seed, interpret)
+        seed_bh = seed_ref[0] + b * pl.num_programs(1) + h
+        keep = _dropout_keep(p.shape, rate, seed_bh,
+                             qt * p.shape[0])
         p = jnp.where(keep, p, 0.0)
     v = v_ref[0, 0]
     o = jax.lax.dot_general(
@@ -122,11 +123,9 @@ def _bwd_kernel(mask_ref, seed_ref, q_ref, k_ref, kT_ref, vT_ref, do_ref,
     p = _probs(q, kT_ref[0, 0], mask_ref[b, :] > 0, scale)  # (Tq, T) f32
 
     if rate > 0.0:
-        tile_seed = _seed_for(seed_ref[0], b, h, qt,
-                              pl.num_programs(1), pl.num_programs(2))
-        if not interpret:
-            pltpu.prng_seed(tile_seed)
-        keep = _dropout_keep(p.shape, rate, tile_seed, interpret)
+        seed_bh = seed_ref[0] + b * pl.num_programs(1) + h
+        keep = _dropout_keep(p.shape, rate, seed_bh,
+                             qt * p.shape[0])
         p_drop = jnp.where(keep, p, 0.0) / (1.0 - rate)
     else:
         p_drop = p

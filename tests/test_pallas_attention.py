@@ -146,3 +146,73 @@ def test_bf16_forward():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_dropout_mask_tiling_invariant_and_grads_match():
+    """Round-4 regression: at T=1024 the forward picks Tq=1024 under
+    dropout while the backward's VMEM budget forces Tq=512 — the old
+    per-tile PRNG seeding produced DIFFERENT dropout masks in forward and
+    backward (biased gradients at the decoder's training shapes). The
+    position-hashed mask is tiling-invariant by construction; verify by
+    replicating the hash externally, building a differentiable reference
+    attention that uses the replicated mask, and checking BOTH the output
+    and all three input grads against the kernel's custom VJP."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lightningfastspeech2_tpu.ops.pallas_attention import (
+        _pick_bwd_q_tile,
+        _pick_q_tile,
+        flash_attention,
+    )
+
+    B, H, T, d = 1, 1, 1024, 32
+    rate, seed = 0.3, 17
+    assert _pick_q_tile(T, rate) != _pick_bwd_q_tile(T), (
+        "shape no longer exercises differing fwd/bwd tiles; pick another T"
+    )
+
+    # external replication of ops/pallas_attention._dropout_keep
+    threshold = np.uint32(min(int(rate * (2.0 ** 32)), 2 ** 32 - 1))
+    r = np.arange(T, dtype=np.uint32)[:, None] * np.uint32(2654435761)
+    c = np.arange(T, dtype=np.uint32)[None, :] * np.uint32(1013904223)
+    x = (r ^ c) + np.uint32(seed)  # seed_bh = seed + b*H + h = seed
+    x ^= x >> 16
+    x = x * np.uint32(2246822519)
+    x ^= x >> 13
+    x = x * np.uint32(3266489917)
+    x ^= x >> 16
+    keep = jnp.asarray(x >= threshold)
+
+    g = np.random.default_rng(3)
+    q = jnp.asarray(g.standard_normal((B, H, T, d)), jnp.float32)
+    k = jnp.asarray(g.standard_normal((B, H, T, d)), jnp.float32)
+    v = jnp.asarray(g.standard_normal((B, H, T, d)), jnp.float32)
+    mask = jnp.asarray(g.uniform(size=(B, T)) > 0.2)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhtd,bhsd->bhts", q, k) / (d ** 0.5)
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        p = jnp.where(keep[None, None], p, 0.0) / (1.0 - rate)
+        return jnp.einsum("bhts,bhsd->bhtd", p, v)
+
+    def kern(q, k, v):
+        return flash_attention(q, k, v, mask, dropout_rate=rate, seed=seed,
+                               interpret=True)
+
+    o_ref = ref(q, k, v)
+    o_kern = kern(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_kern), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    do = jnp.asarray(g.standard_normal(o_ref.shape), jnp.float32)
+    g_ref = jax.grad(lambda *a: jnp.vdot(ref(*a), do), argnums=(0, 1, 2))(
+        q, k, v)
+    g_kern = jax.grad(lambda *a: jnp.vdot(kern(*a), do), argnums=(0, 1, 2))(
+        q, k, v)
+    for name, a, b in zip("qkv", g_kern, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
