@@ -371,6 +371,7 @@ def _fit_loop(cfg, model, state, step_fn, batches, batch, rng, frozen,
         schedule_fn = lambda s: jnp.asarray(
             schedule_probability(cfg.model, s // steps_per_epoch), jnp.float32
         )
+    rate_anchor = (0, t_start)
     for step_i in range(max_steps):
         arrs = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         if accum > 1:
@@ -399,7 +400,14 @@ def _fit_loop(cfg, model, state, step_fn, batches, batch, rng, frozen,
             swa.update(step_i, state.params)
         if (step_i % cfg.train.log_every == 0) or step_i == max_steps - 1:
             snap = {k: float(v) for k, v in metrics.items()}
-            snap["steps_per_s"] = (step_i + 1) / (time.time() - t_start)
+            # interval rate, not lifetime average: a lifetime number stays
+            # diluted by startup compiles for thousands of steps (round-4
+            # campaign read 4.3 when the loop was doing 24)
+            now = time.time()
+            prev_step, prev_t = rate_anchor
+            snap["steps_per_s"] = (step_i + 1 - prev_step) / max(
+                now - prev_t, 1e-9)
+            rate_anchor = (step_i + 1, now)
             from lightningfastspeech2_tpu.train.optim import noam_schedule
 
             snap["lr"] = float(
