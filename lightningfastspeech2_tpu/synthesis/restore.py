@@ -176,6 +176,19 @@ def band_replicate(
     return istft(out, x.shape[0])
 
 
+def neural_denoise(x: jnp.ndarray, dn_params) -> jnp.ndarray:
+    """Learned-mask denoise (synthesis/denoiser.py): the VoiceFixer-slot
+    *neural* prior the DSP chain lacked — masks the magnitude, keeps the
+    phase, same floor as the spectral gate."""
+    from lightningfastspeech2_tpu.synthesis.denoiser import apply_mask_net
+
+    spec = stft(x)
+    mag = jnp.abs(spec)
+    masked = apply_mask_net(dn_params, mag)
+    phase = spec / jnp.maximum(mag, 1e-8)
+    return istft(phase * masked, x.shape[0])
+
+
 @functools.partial(
     jax.jit, static_argnames=("bucket", "strength", "threshold", "sbr")
 )
@@ -186,10 +199,14 @@ def _restore_padded(
     strength: float,
     threshold: float,
     sbr: bool,
+    dn_params=None,
 ):
     del bucket  # shapes carry it; static arg keys the jit cache
     y = declip(x, threshold)
-    y = spectral_denoise(y, length, strength=strength)
+    if dn_params is not None:
+        y = neural_denoise(y, dn_params)
+    else:
+        y = spectral_denoise(y, length, strength=strength)
     y = upsample_2x(y)
     if sbr:
         y = band_replicate(y)
@@ -216,12 +233,26 @@ class AudioRestorer:
         sbr: bool = True,
         pad_seconds: float = 0.1,
         bucket_step: int = 16384,
+        denoiser: str = "auto",
     ):
         self.denoise_strength = float(denoise_strength)
         self.declip_threshold = float(declip_threshold)
         self.sbr = bool(sbr)
         self.pad_seconds = float(pad_seconds)
         self.bucket_step = int(bucket_step)
+        # "neural": learned-mask denoise (denoiser.py builtin weights,
+        # the VoiceFixer-slot prior); "spectral": the DSP gate; "auto":
+        # neural when the in-tree weights exist, else spectral
+        self._dn_params = None
+        if denoiser in ("auto", "neural"):
+            from lightningfastspeech2_tpu.synthesis import denoiser as dn
+
+            self._dn_params = dn.load()
+            if self._dn_params is None and denoiser == "neural":
+                raise FileNotFoundError(
+                    f"no denoiser weights at {dn.BUILTIN_PATH}; run "
+                    "scripts/train_denoiser.py"
+                )
         self._device = None  # resolved lazily
 
     def _restore_device(self):
@@ -264,6 +295,7 @@ class AudioRestorer:
                     self.denoise_strength,
                     self.declip_threshold,
                     self.sbr,
+                    self._dn_params,
                 ),
                 np.float32,
             )

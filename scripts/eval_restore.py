@@ -105,9 +105,20 @@ def lsd(est: np.ndarray, ref: np.ndarray) -> float:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--denoiser", choices=("spectral", "neural", "auto"),
+                    default="auto",
+                    help="denoise stage: the DSP gate, the learned mask "
+                         "(synthesis/denoiser.py), or auto")
+    args = ap.parse_args()
+
     rng = np.random.default_rng(0)
     cleans = [make_clean(rng) for _ in range(4)]
-    restorer = AudioRestorer()
+    restorer = AudioRestorer(denoiser=args.denoiser)
+    print(f"denoiser: "
+          f"{'neural' if restorer._dn_params is not None else 'spectral'}")
 
     cases = [
         ("clean (transparency)", lambda x, r: x.copy()),

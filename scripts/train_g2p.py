@@ -34,6 +34,13 @@ def main(argv=None):
     p.add_argument("--d", type=int, default=96)
     p.add_argument("--holdout", type=int, default=500,
                    help="words held out to report generalization accuracy")
+    p.add_argument("--holdout_mode", choices=("random", "stem"),
+                   default="random",
+                   help="'stem' holds out whole suffix-stripped stem "
+                        "groups, so no inflection of a held word is seen "
+                        "in training — measures cross-stem transfer "
+                        "rather than unseen-word-form completion "
+                        "(VERDICT r3 'G2P holdout leakage')")
     args = p.parse_args(argv)
 
     from lightningfastspeech2_tpu.synthesis.g2p import G2P
@@ -51,11 +58,38 @@ def main(argv=None):
     import numpy as np
 
     rng = np.random.default_rng(0)
-    held_idx = set(rng.choice(len(words), size=min(args.holdout, len(words)),
-                              replace=False).tolist())
-    held = [w for i, w in enumerate(words) if i in held_idx]
-    train_lex = {w: lexicon[w] for i, w in enumerate(words)
-                 if i not in held_idx}
+    if args.holdout_mode == "stem":
+        def stem(w: str) -> str:
+            for suf in ("ingly", "edly", "ings", "tion", "ness", "ment",
+                        "able", "ing", "est", "ers", "ies", "ed", "er",
+                        "es", "ly", "s"):
+                if w.endswith(suf) and len(w) - len(suf) >= 3:
+                    return w[: len(w) - len(suf)]
+            return w
+
+        groups: dict = {}
+        for w in words:
+            groups.setdefault(stem(w), []).append(w)
+        keys = sorted(groups)
+        order = rng.permutation(len(keys))
+        held, hset, n_groups = [], set(), 0
+        for gi in order:
+            if len(held) >= args.holdout:
+                break
+            ws = groups[keys[gi]]
+            held.extend(ws)
+            hset.update(ws)
+            n_groups += 1
+        train_lex = {w: lexicon[w] for w in words if w not in hset}
+        print(f"stem-disjoint holdout: {len(held)} words across "
+              f"{n_groups} stem groups; no shared stems with training")
+    else:
+        held_idx = set(rng.choice(len(words),
+                                  size=min(args.holdout, len(words)),
+                                  replace=False).tolist())
+        held = [w for i, w in enumerate(words) if i in held_idx]
+        train_lex = {w: lexicon[w] for i, w in enumerate(words)
+                     if i not in held_idx}
 
     model = train_neural_g2p(
         train_lex, steps=args.steps, batch_size=args.batch_size,
@@ -67,7 +101,23 @@ def main(argv=None):
     if held:
         preds = model(held)
         word_acc = sum(p == lexicon[w] for w, p in zip(held, preds)) / len(held)
-        print(f"held-out word accuracy: {word_acc:.3f} ({len(held)} words)")
+        dist = total = 0
+        for w, pred in zip(held, preds):
+            ref = lexicon[w]
+            m, n = len(pred), len(ref)
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                                prev + (pred[i - 1] != ref[j - 1]))
+                    prev = cur
+            dist += dp[n]
+            total += n
+        print(f"held-out ({args.holdout_mode}): word accuracy "
+              f"{word_acc:.3f}, PER {dist / max(total, 1):.3f} "
+              f"({len(held)} words)")
 
 
 if __name__ == "__main__":

