@@ -40,19 +40,26 @@ def test_two_process_cluster(corpus, tmp_path):
     except OSError:
         pytest.skip("sockets unavailable")
 
+    # ENV CONTRACT (VERDICT r3 weak item 7): worker processes must see a
+    # CLEAN JAX environment or the cluster silently degrades to the wrong
+    # topology. The driver/session env on this machine carries (a) a
+    # sitecustomize that registers a remote "axon" PJRT plugin at import
+    # time — it initializes the backend BEFORE distributed_init can run,
+    # pinning the worker to 1 local device (the same assumption
+    # __graft_entry__.dryrun_multichip relies on scrubbing); (b) conftest's
+    # 8-device host-platform flag, which would fight the workers' own
+    # 4-device jax_num_cpu_devices. Scrub ANY env var matching these
+    # classes rather than a fixed allowlist, so future driver-env renames
+    # (e.g. a new *_AXON_* knob) stay scrubbed.
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # the parent conftest forces an 8-device host platform; workers set
-    # their own 4-device count via jax_num_cpu_devices
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "host_platform_device_count" not in f
     )
-    # suppress the axon PJRT plugin registration in sitecustomize — it
-    # initializes the backend at import time, which pins the process to
-    # 1 local device before distributed_init can run
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    for k in list(env):
+        if "AXON" in k or k == "JAX_COORDINATOR_ADDRESS":
+            env.pop(k)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [
