@@ -379,6 +379,16 @@ def main(argv=None):
             speaker_dir = out_dir / str(item["speaker_key"])
             speaker_dir.mkdir(parents=True, exist_ok=True)
             gen.save_audio(speaker_dir / f"{item['id']}.wav", wav)
+            # ground-truth copy beside the synthesis (reference writes the
+            # original too, generate.py:228-231; scripts/eval_vocoder.py
+            # --compare_dir consumes these pairs)
+            import shutil
+
+            src = ds.entries[idx].audio_path
+            try:
+                shutil.copyfile(src, speaker_dir / f"{item['id']}_original.wav")
+            except OSError:
+                pass
             (speaker_dir / f"{item['id']}.lab").write_text(item.get("text", ""))
             with open(speaker_dir / f"{item['id']}.meta", "wb") as fh:
                 pickle.dump(
