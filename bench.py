@@ -36,6 +36,7 @@ vs_baseline.
 import contextlib
 import json
 import os
+import re
 import sys
 import time
 import traceback
@@ -44,10 +45,15 @@ BASELINE_AUDIO_S_PER_S = 22527.75  # round-1 record (BENCH_r01.json)
 
 PALLAS_ENV_FLAGS = ("LFS2_USE_PALLAS", "LFS2_FUSED_FFN", "LFS2_PALLAS_LR")
 
+# ANSI escapes + control chars: tunnel-runtime log text can leak into
+# exception messages, and round 4 lost its official record when escape
+# bytes inside an error string made the JSON line unparseable
+_CTRL_RE = re.compile(r"\x1b\[[0-9;?]*[A-Za-z]|[\x00-\x08\x0b-\x1f\x7f]")
+
 
 def _errstr(e: BaseException) -> str:
     tb = traceback.format_exception_only(type(e), e)
-    return ("".join(tb)).strip()[:600]
+    return _CTRL_RE.sub("", ("".join(tb)).strip())[:600]
 
 
 @contextlib.contextmanager
@@ -111,7 +117,7 @@ def _setup():
     T = int(os.environ.get("BENCH_FRAMES", 2048))
     iters = int(os.environ.get("BENCH_ITERS", 50))
 
-    cfg = C.lightspeech_76m()
+    cfg = C.lightspeech_flagship()
     mcfg = C.replace(cfg.model, max_phones=P, max_frames=T)
     model = FastSpeech2(mcfg, dtype=jnp.bfloat16)
 
@@ -547,6 +553,41 @@ def _wl_serving_e2e(S, extra):
     except Exception as e:  # pylint: disable=broad-except
         extra["inference_bucket_error"] = _errstr(e)
 
+    # the REAL bucketed-serving shape (VERDICT r4 item 8): the two-pass
+    # SpeechGenerator path buckets PHONES as well as frames
+    # (core/bucketing.py), and a server batches utterances per bucket —
+    # a 512-frame (~6 s) utterance carries ~70-80 phones -> P bucket 96,
+    # and B scales so the chip sees the same frame count as the
+    # full-bucket row (32*512 == 8*2048). The P=256/B=8 row above keeps
+    # the historical (pessimistic) comparison.
+    try:
+        Tb, Pb, Bb = 512, 96, 4 * B
+        mcfg_r = C.replace(mcfg, max_frames=Tb, max_phones=Pb)
+        model_r = type(model)(mcfg_r, dtype=model.dtype)
+        batch_r = _make_bucket_batch(mcfg_r, Bb, Pb, Tb)
+        r_audio_s = Bb * Tb * hop / sr
+
+        @jax.jit
+        def infer_r(params, batch, carry):
+            b = dict(batch)
+            b["speaker"] = batch["speaker"] + carry * 1e-30
+            out = model_r.apply(params, b, inference=True,
+                                deterministic=True,
+                                rngs={"sdp": jax.random.PRNGKey(0)})
+            return out["mel"], out["duration_rounded"]
+
+        def r_step(carry):
+            mel, dr = infer_r(params, batch_r, carry)
+            return dr[0, 0].astype(jnp.float32)
+
+        _ = infer_r(params, batch_r, jnp.zeros(()))
+        r_rate, r_dt = _rate(r_step, jnp.zeros(()), iters, r_audio_s)
+        extra["serving_bucket512_batched_audio_s_per_s"] = round(r_rate, 2)
+        extra["serving_bucket512_batched_step_ms"] = round(r_dt * 1e3, 3)
+        extra["serving_bucket512_batched_shape"] = f"B={Bb},P={Pb},T={Tb}"
+    except Exception as e:  # pylint: disable=broad-except
+        extra["serving_bucket512_batched_error"] = _errstr(e)
+
 
 # ---- 3d. scale rows: 27M-class, 76M-class, joint composition --------------
 def _wl_scale(S, extra):
@@ -637,7 +678,7 @@ def _wl_scale(S, extra):
         ("fs2_vanilla", C.fastspeech2_27m()),
         ("true76m", C.lightspeech_true76m()),
     ):
-        try:
+        def preset_row(name=name, cfg=cfg):
             mcfg = C.replace(cfg.model, max_phones=P, max_frames=T)
             extra[f"{name}_n_params"] = count_params(mcfg)
             model = FastSpeech2(mcfg, dtype=jnp.bfloat16)
@@ -657,14 +698,18 @@ def _wl_scale(S, extra):
             extra[f"{name}_train_step_ms"] = round(tdt, 3)
             extra[f"{name}_train_audio_s_per_s"] = round(
                 audio_s / tdt * 1e3, 2)
-        except Exception as e:  # pylint: disable=broad-except
-            extra[f"{name}_error"] = _errstr(e)
+
+        # per-row fail-soft WITH the Pallas-off retry: round 4 caught
+        # row exceptions here without retrying, which defeated
+        # _run_workload's workload-level fallback for exactly the rows
+        # that needed it (VERDICT r4 weak #4)
+        _row_fail_soft(name, preset_row, extra)
 
     # joint composition: fwd+bwd+update through acoustic + FastDiff
     # vocoder + diffusion variances + diffusion speakers (the reference's
     # canonical experiment, scripts/train.sh:44-55). Reference-realistic
     # shapes: batch 4 (train.sh:4), T=1024 frames (<=12 s utterances).
-    try:
+    def joint_row():
         import numpy as np
         import optax
 
@@ -730,8 +775,8 @@ def _wl_scale(S, extra):
         extra["joint_train_audio_s_per_s"] = round(
             Bj * Tj * hop / sr / jdt * 1e3, 2)
         extra["joint_train_shape"] = f"B={Bj},T={Tj}"
-    except Exception as e:  # pylint: disable=broad-except
-        extra["joint_error"] = _errstr(e)
+
+    _row_fail_soft("joint", joint_row, extra)
 
 
 # ---- 4. training step time ------------------------------------------------
@@ -803,6 +848,27 @@ def _wl_train(S, extra):
         )
 
 
+def _row_fail_soft(label, fn, extra):
+    """Run one bench ROW fail-soft: record the error and retry ONCE with
+    Pallas disabled. Row bodies build all their jitted closures inside
+    ``fn``, so the env flip takes effect on retry (the gates read env at
+    trace time)."""
+    try:
+        return fn()
+    except Exception as e:  # pylint: disable=broad-except
+        extra[f"{label}_error"] = _errstr(e)
+        print(f"[bench] row {label} failed ({type(e).__name__}); "
+              f"retrying with Pallas kernels disabled", file=sys.stderr)
+    try:
+        with _pallas_disabled():
+            out = fn()
+        extra[f"{label}_pallas_fallback"] = True
+        return out
+    except Exception as e:  # pylint: disable=broad-except
+        extra[f"{label}_fallback_error"] = _errstr(e)
+        return None
+
+
 def _run_workload(name, fn, S, extra):
     """Run one workload fail-soft; retry once with Pallas disabled."""
     try:
@@ -872,17 +938,31 @@ def main():
         # that far, else 0.0 with the error on record
         headline = float(extra.get("device_audio_s_per_s", 0.0))
     vs = headline / BASELINE_AUDIO_S_PER_S if BASELINE_AUDIO_S_PER_S else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "audio_seconds_synthesized_per_s_per_chip",
-                "value": round(headline, 2),
-                "unit": "audio-s/s/chip",
-                "vs_baseline": round(vs, 3),
-                "extra": extra,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "audio_seconds_synthesized_per_s_per_chip",
+            "value": round(headline, 2),
+            "unit": "audio-s/s/chip",
+            "vs_baseline": round(vs, 3),
+            "extra": extra,
+        }
     )
+    # the result must survive a corrupted stdout (round-4 failure mode:
+    # tunnel log lines shared the stream and the driver parsed null) —
+    # write it to a file next to this script as well
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"[bench] could not write bench_out.json: {e}",
+              file=sys.stderr)
+    sys.stderr.flush()
+    # leading newline guarantees the JSON starts its own line even if a
+    # runtime logger left a partial line on stdout
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

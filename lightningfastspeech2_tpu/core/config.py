@@ -337,11 +337,6 @@ def lightspeech_flagship() -> Config:
     return Config(model=model)
 
 
-# Deprecated alias: the name mirrors the reference README's (unreproducible)
-# "76M" claim; kept for continuity with rounds 1-3 scripts/benches.
-lightspeech_76m = lightspeech_flagship
-
-
 def lightspeech_true76m() -> Config:
     """A genuinely 76M-parameter LightSpeech-style config (measured 76.6M
     via ``jax.eval_shape`` param count): hidden 640, 8 encoder + 7 decoder

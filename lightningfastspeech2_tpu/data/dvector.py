@@ -218,6 +218,27 @@ class DVectorPipeline:
 
     def __init__(self, params=None, rng=None, sampling_rate: int = 22050):
         self.model = DVector()
+        # cache-key fingerprint (advisor round-4): the <utt>.npy caches
+        # are otherwise keyed by path only, so switching d-vector weights
+        # would silently reuse embeddings from the previous weights.
+        # params=None with the default rng keeps the legacy plain-.npy
+        # name (reference layout, and every cache written by rounds 1-4);
+        # any other weights get a distinct suffixed name.
+        if params is None and rng is None:
+            self._cache_tag = ""
+        else:
+            import hashlib
+
+            if params is None:
+                material = b"rng:" + np.asarray(
+                    jax.random.key_data(rng) if hasattr(jax.random, "key_data")
+                    else rng).tobytes()
+            else:
+                h = hashlib.sha1()
+                for leaf in jax.tree_util.tree_leaves(params):
+                    h.update(np.asarray(leaf).tobytes()[:4096])
+                material = h.digest()
+            self._cache_tag = "." + hashlib.sha1(material).hexdigest()[:8]
         if params is None:
             mel = jnp.zeros((1, 50, 40))
             params = jax.jit(self.model.init)(
@@ -241,7 +262,8 @@ class DVectorPipeline:
         """Embed 1 s of each utterance; returns speaker -> mean d-vector."""
         per_speaker: Dict[str, List[np.ndarray]] = {}
         for entry in entries:
-            dvec_path = Path(entry.audio_path).with_suffix(".npy")
+            dvec_path = Path(entry.audio_path).with_suffix(
+                self._cache_tag + ".npy")
             if cache and dvec_path.exists():
                 dvec = np.load(dvec_path)
             else:

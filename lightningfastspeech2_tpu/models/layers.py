@@ -52,7 +52,8 @@ def _flash_ok(T: int, head_dim: int, deterministic: bool) -> bool:
     return pallas_enabled()
 
 
-def _fused_ffn_ok(hidden: int, filter_size: int) -> bool:
+def _fused_ffn_ok(hidden: int, filter_size: int,
+                  train: bool = False) -> bool:
     """Static gate for the fused FFN-half kernel (ops/pallas_ffn.py):
     backend supports Mosaic and the matmul dims fill 128-lane registers
     (interpret mode — CPU tests — accepts any dims). Opt-out via
@@ -75,7 +76,25 @@ def _fused_ffn_ok(hidden: int, filter_size: int) -> bool:
         return False
     if pallas_interpret():
         return True
-    return hidden % 128 == 0 and filter_size % 128 == 0
+    if hidden % 128 != 0 or filter_size % 128 != 0:
+        return False
+    if not train:
+        # deterministic fwd (fused_ffn_ln): empirically green on v5e up
+        # to the true-76M dims (640, 2560) — the resident set is one
+        # (tile+2*halo, F) f32 intermediate + the two bf16 weights
+        return True
+    # VMEM fit estimate for the TRAIN backward (ops/pallas_ffn.py
+    # _ffn_train_bwd_kernel), the tightest resident set: both layouts of
+    # both pointwise weights (bf16) + f32 dw1/dw2 partials, all (C, F) —
+    # 16*C*F bytes — plus ~3 (tile+2D, F) f32 intermediates at the bwd
+    # tile of 256. At the flagship (256, 1024) this is ~7.7 MB; at the
+    # true-76M dims (640, 2560) it is ~29 MB and the Mosaic compile
+    # aborts the TPU compile helper outright (round-5 finding: the
+    # round-4 true76m train row could never have compiled) — gate the
+    # train path to XLA instead of crashing.
+    fixed = 16 * hidden * filter_size
+    per_tile = 3 * (256 + 64) * filter_size * 4
+    return fixed + per_tile <= 14 * 1024 * 1024
 
 
 def layer_norm_fn(x, scale, bias, dtype, eps: float = 1e-5):
@@ -392,7 +411,8 @@ class FFTBlock(nn.Module):
             if (
                 self.depthwise
                 and self.kernel2 == 1
-                and _fused_ffn_ok(self.hidden, self.filter_size)
+                and _fused_ffn_ok(self.hidden, self.filter_size,
+                                  train=not deterministic)
             ):
                 from lightningfastspeech2_tpu.ops.kernel_gate import (
                     pallas_interpret,

@@ -87,8 +87,8 @@ def _probs(q, kT, key_valid, scale):
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
-def _fwd_kernel(mask_ref, seed_ref, q_ref, kT_ref, v_ref, o_ref, lse_ref,
-                *, scale, rate, interpret):
+def _fwd_kernel(mask_ref, seed_ref, q_ref, kT_ref, v_ref, o_ref, *lse_refs,
+                scale, rate, interpret):
     b, h, qt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     s = jax.lax.dot_general(
         q_ref[0, 0], kT_ref[0, 0], (((1,), (0,)), ((), ())),
@@ -99,10 +99,18 @@ def _fwd_kernel(mask_ref, seed_ref, q_ref, kT_ref, v_ref, o_ref, lse_ref,
     s = s - m
     p = jnp.exp(s)
     denom = jnp.sum(p, axis=1, keepdims=True)
-    # log-sum-exp per query row: the split backward reconstructs
-    # normalized probabilities from raw scores as exp(s*scale - lse)
-    # without re-reducing over keys
-    lse_ref[0, 0] = (m + jnp.log(denom))[:, 0]
+    if lse_refs:
+        # log-sum-exp per query row: the split backward reconstructs
+        # normalized probabilities from raw scores as exp(s*scale - lse)
+        # without re-reducing over keys.  Emitted ONLY when the split
+        # backward will consume it (round-4 regression: an unconditional
+        # (1, 1, Tq) out-spec on a (B, H, T) array is illegal under the
+        # Mosaic sublane rule and broke default-path compilation at
+        # T>=1024).  Layout is (B, H, 8, T) with the value broadcast
+        # across the 8 sublanes so the block (1, 1, 8, Tq) is tile-legal.
+        lse_refs[0][0, 0] = jnp.broadcast_to(
+            (m + jnp.log(denom))[:, 0][None, :], (8, p.shape[0])
+        )
     if rate > 0.0:
         seed_bh = seed_ref[0] + b * pl.num_programs(1) + h
         keep = _dropout_keep(p.shape, rate, seed_bh,
@@ -206,13 +214,26 @@ def _pick_bwd_q_tile(T: int) -> int:
     raise ValueError(f"sequence length {T} not a multiple of 128")
 
 
-def _fwd(q, k, v, mask, seed, scale, rate, interpret):
+def _fwd(q, k, v, mask, seed, scale, rate, interpret, need_lse=False):
     B, H, T, d = q.shape
     Tq = _pick_q_tile(T, rate)
     kT = jnp.swapaxes(k, 2, 3)  # (B, H, d, T), one XLA transpose in HBM
     qtile = pl.BlockSpec((1, 1, Tq, d), lambda b, h, qt: (b, h, qt, 0))
     kT_spec = pl.BlockSpec((1, 1, d, T), lambda b, h, qt: (b, h, 0, 0))
     v_spec = pl.BlockSpec((1, 1, T, d), lambda b, h, qt: (b, h, 0, 0))
+    out_specs = qtile
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if need_lse:
+        # sublane-broadcast LSE (see _fwd_kernel); 8*T f32 per (b, h) is
+        # 64 KB at T=2048 — negligible HBM for a tile-legal layout
+        out_specs = (
+            qtile,
+            pl.BlockSpec((1, 1, 8, Tq), lambda b, h, qt: (b, h, 0, qt)),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((B, H, 8, T), jnp.float32),
+        )
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, rate=rate, interpret=interpret
@@ -223,14 +244,8 @@ def _fwd(q, k, v, mask, seed, scale, rate, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             qtile, kT_spec, v_spec,
         ],
-        out_specs=(
-            qtile,
-            pl.BlockSpec((1, 1, Tq), lambda b, h, qt: (b, h, qt)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(mask.astype(jnp.int32), jnp.asarray([seed], jnp.int32), q, kT, v)
 
@@ -288,7 +303,9 @@ def _bwd_dq_kernel(mask_ref, seed_ref, lse_ref, delta_ref, q_ref, k_ref,
         preferred_element_type=jnp.float32,
     ) * scale
     s = jnp.where((mask_ref[b, :] > 0)[None, :], s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0][:, None])  # normalized, no re-reduce
+    # lse/delta ride a (1, 1, 8, Tq) sublane-broadcast block; row 0 is
+    # the value
+    p = jnp.exp(s - lse_ref[0, 0][0][:, None])  # normalized, no re-reduce
     dp = jax.lax.dot_general(
         do, vT_ref[0, 0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -297,7 +314,7 @@ def _bwd_dq_kernel(mask_ref, seed_ref, lse_ref, delta_ref, q_ref, k_ref,
         seed_bh = seed_ref[0] + b * pl.num_programs(1) + h
         keep = _dropout_keep(p.shape, rate, seed_bh, qt * p.shape[0])
         dp = jnp.where(keep, dp, 0.0) / (1.0 - rate)
-    ds = p * (dp - delta_ref[0, 0][:, None]) * scale
+    ds = p * (dp - delta_ref[0, 0][0][:, None]) * scale
     kk = k_ref[0, 0]
     dq = jax.lax.dot_general(
         ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
@@ -318,7 +335,7 @@ def _bwd_dkdv_kernel(mask_ref, seed_ref, lse_ref, delta_ref, k_ref, v_ref,
         preferred_element_type=jnp.float32,
     ) * scale
     key_valid = mask_ref[b, pl.ds(kt * Tk, Tk)] > 0
-    pT = jnp.exp(sT - lse_ref[0, 0][None, :])
+    pT = jnp.exp(sT - lse_ref[0, 0][0][None, :])
     pT = jnp.where(key_valid[:, None], pT, 0.0)
     # dpT[j, i] = v_j . do_i
     dpT = jax.lax.dot_general(
@@ -342,7 +359,7 @@ def _bwd_dkdv_kernel(mask_ref, seed_ref, lse_ref, delta_ref, k_ref, v_ref,
         p_dropT.astype(do.dtype), do, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dsT = pT * (dp_dropT - delta_ref[0, 0][None, :]) * scale
+    dsT = pT * (dp_dropT - delta_ref[0, 0][0][None, :]) * scale
     qq = q_ref[0, 0]
     dk = jax.lax.dot_general(
         dsT.astype(qq.dtype), qq, (((1,), (0,)), ((), ())),
@@ -365,6 +382,9 @@ def _pick_k_tile(T: int) -> int:
 def _bwd_split(q, k, v, mask, seed, o, lse, do, scale, rate, interpret):
     B, H, T, d = q.shape
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    # same (B, H, 8, T) sublane-broadcast layout as the forward's LSE so
+    # both per-row vectors ride tile-legal (1, 1, 8, Tq) blocks
+    delta = jnp.broadcast_to(delta[:, :, None, :], (B, H, 8, T))
     kT = jnp.swapaxes(k, 2, 3)
     vT = jnp.swapaxes(v, 2, 3)
     qT = jnp.swapaxes(q, 2, 3)
@@ -376,7 +396,7 @@ def _bwd_split(q, k, v, mask, seed, o, lse, do, scale, rate, interpret):
     qtile = pl.BlockSpec((1, 1, Tq, d), lambda b, h, t: (b, h, t, 0))
     full_td = pl.BlockSpec((1, 1, T, d), lambda b, h, t: (b, h, 0, 0))
     full_dt = pl.BlockSpec((1, 1, d, T), lambda b, h, t: (b, h, 0, 0))
-    row_tile = pl.BlockSpec((1, 1, Tq), lambda b, h, t: (b, h, t))
+    row_tile = pl.BlockSpec((1, 1, 8, Tq), lambda b, h, t: (b, h, 0, t))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, rate=rate,
                           interpret=interpret),
@@ -393,7 +413,7 @@ def _bwd_split(q, k, v, mask, seed, o, lse, do, scale, rate, interpret):
 
     Tk = _pick_k_tile(T)
     ktile = pl.BlockSpec((1, 1, Tk, d), lambda b, h, t: (b, h, t, 0))
-    full_row = pl.BlockSpec((1, 1, T), lambda b, h, t: (b, h, 0))
+    full_row = pl.BlockSpec((1, 1, 8, T), lambda b, h, t: (b, h, 0, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, scale=scale, rate=rate,
                           interpret=interpret),
@@ -423,18 +443,25 @@ def _split_bwd_enabled() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_core(q, k, v, mask, seed, scale, rate, interpret):
-    o, _ = _fwd(q, k, v, mask, seed, scale, rate, interpret)
-    return o
+    return _fwd(q, k, v, mask, seed, scale, rate, interpret)
 
 
 def _flash_fwd(q, k, v, mask, seed, scale, rate, interpret):
-    o, lse = _fwd(q, k, v, mask, seed, scale, rate, interpret)
+    # LSE is saved ONLY when the split backward will consume it; the
+    # default (fused-backward) forward is byte-identical to the
+    # inference forward — no extra output, no extra out-spec to lower
+    if _split_bwd_enabled():
+        o, lse = _fwd(q, k, v, mask, seed, scale, rate, interpret,
+                      need_lse=True)
+    else:
+        o = _fwd(q, k, v, mask, seed, scale, rate, interpret)
+        lse = None
     return o, (q, k, v, mask, seed, o, lse)
 
 
 def _flash_bwd(scale, rate, interpret, res, do):
     q, k, v, mask, seed, o, lse = res
-    if _split_bwd_enabled():
+    if lse is not None:
         dq, dk, dv = _bwd_split(q, k, v, mask, seed, o, lse, do, scale,
                                 rate, interpret)
     else:

@@ -248,11 +248,21 @@ class AudioRestorer:
             from lightningfastspeech2_tpu.synthesis import denoiser as dn
 
             self._dn_params = dn.load()
-            if self._dn_params is None and denoiser == "neural":
-                raise FileNotFoundError(
-                    f"no denoiser weights at {dn.BUILTIN_PATH}; run "
-                    "scripts/train_denoiser.py"
-                )
+            if self._dn_params is None:
+                if denoiser == "neural":
+                    raise FileNotFoundError(
+                        f"no denoiser weights at {dn.BUILTIN_PATH}; run "
+                        "scripts/train_denoiser.py"
+                    )
+                # the downgrade must be LOUD: an eval "with denoiser"
+                # that silently measures the spectral gate reports the
+                # wrong thing (VERDICT r4 weak #8)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "denoiser='auto': no weights at %s — falling back "
+                    "to the spectral gate (run scripts/train_denoiser.py "
+                    "for the learned-mask path)", dn.BUILTIN_PATH)
         self._device = None  # resolved lazily
 
     def _restore_device(self):

@@ -61,14 +61,18 @@ def masked_mae(pred: np.ndarray, truth: np.ndarray,
 def mel_cepstral_distortion(
     pred_mel: np.ndarray, true_mel: np.ndarray, n_coeffs: int = 13
 ) -> float:
-    """MCD (dB) between frame-aligned log10-mel spectrograms (T, n_mels).
+    """Cepstral distance (dB) between frame-aligned log10-mel
+    spectrograms (T, n_mels).
 
     Kubichek's formula on DCT-II cepstra of the ln-mel spectrum,
     c1..c{n_coeffs} (c0/energy excluded):
-    MCD = mean_t (10/ln10) * sqrt(2 * sum_k (dc_k)^2).
-    The standard TTS quality number the reference ecosystem reports;
-    computed on the teacher-forced mels (same frame grid, no DTW
-    alignment term)."""
+    CD = mean_t (10/ln10) * sqrt(2 * sum_k (dc_k)^2).
+    NOTE (advisor round-4): these cepstra come from the 80-band log-MEL
+    spectrum, not WORLD mel-generalized cepstra, and run DTW-free on the
+    teacher-forced frame grid — the absolute value is NOT comparable to
+    literature MCD (typically 4-8 dB); track it as a relative trend.
+    Logged as ``eval/mcd_mel`` for continuity with earlier campaign
+    logs."""
     n_mels = pred_mel.shape[-1]
     k = np.arange(1, n_coeffs + 1)[:, None]
     n = np.arange(n_mels)[None, :]

@@ -95,7 +95,10 @@ def mel_metrics(mel_ref: np.ndarray, mel_est: np.ndarray, aligned: bool):
     mel_ref, mel_est = mel_ref[:n], mel_est[:n]
     return {
         "mel_l1": float(np.mean(np.abs(mel_ref - mel_est))),
-        "mcd_db": float(mel_cepstral_distortion(mel_est, mel_ref)),
+        # DCT c1-13 cepstral distance over the 80-band log10-mel; NOT
+        # comparable to literature MCD (WORLD MCEPs + DTW, typically
+        # 4-8 dB) — advisor round-4 finding: label it what it is
+        "cepstral_dist_db": float(mel_cepstral_distortion(mel_est, mel_ref)),
         "lsd_db": lsd(mel_ref, mel_est),
     }
 
@@ -114,7 +117,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save_first", type=int, default=6,
                     help="artifacts for the first N evaluated utterances")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (mel-only compare runs "
+                         "fine host-side and must not contend for the "
+                         "single tunneled TPU)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from lightningfastspeech2_tpu.core.config import AudioConfig
     from lightningfastspeech2_tpu.data import wav as wav_io

@@ -34,8 +34,14 @@ DCFG = dict(
     variance_transforms=("none", "none", "none", "none"),
     priors=("energy", "duration", "snr", "pitch", "srmr"),
     speaker_type="dvector",
-    # 0, not the campaign's 50: the speaker-count filter is post-scan (no
-    # effect on the feature-cache key) and valid has 4 utts/speaker
+    # 0, not the campaign's 50: valid has only 4 utts/speaker, so the
+    # campaign filter would embed nothing there. Shared with the campaign
+    # run: the per-utterance feature cache (keyed on per-item params,
+    # dataset.py _cached key_parts) and the <utt>.npy d-vector caches.
+    # NOT shared: stats_<key>.json — TTSDataset.cache_key hashes the full
+    # cfg, so the stats this scan writes (min_samples=0) are dead weight
+    # for the campaign run (cheap: it recomputes stats via warm feature
+    # caches).
     min_samples_per_speaker=0,
     mel_dtype="bfloat16",
 )

@@ -36,7 +36,7 @@ B, T, H = 8, 2048, 256
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 DTYPE = jnp.bfloat16
 
-cfg = C.lightspeech_76m()
+cfg = C.lightspeech_flagship()
 dec_cfg = cfg.model.decoder
 
 rng = jax.random.PRNGKey(0)

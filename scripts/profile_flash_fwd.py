@@ -40,7 +40,7 @@ from lightningfastspeech2_tpu.models.fastspeech2 import (
 B, P, T = 8, 256, 2048
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
-cfg = C.lightspeech_76m()
+cfg = C.lightspeech_flagship()
 mcfg = C.replace(cfg.model, max_phones=P, max_frames=T)
 model = FastSpeech2(mcfg, dtype=jnp.bfloat16)
 

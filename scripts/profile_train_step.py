@@ -82,7 +82,7 @@ def scan_time(label, body_fn, carry0, iters=ITERS):
 
 def main():
     print("backend:", jax.default_backend())
-    cfg = C.lightspeech_76m()
+    cfg = C.lightspeech_flagship()
     mcfg = C.replace(cfg.model, max_phones=P, max_frames=T)
     tcfg = C.replace(cfg, model=mcfg)
     model = FastSpeech2(mcfg, dtype=DTYPE)

@@ -43,7 +43,7 @@ ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 
 def main():
     print("backend:", jax.default_backend())
-    cfg = C.lightspeech_76m()
+    cfg = C.lightspeech_flagship()
     mcfg = C.replace(cfg.model, max_phones=P, max_frames=T)
     tcfg = C.replace(cfg, model=mcfg)
     model = FastSpeech2(mcfg, dtype=jnp.bfloat16)

@@ -159,7 +159,7 @@ def test_id_speaker_and_priors():
 def test_param_count_76m_config():
     """LightSpeech 76M: our default config should land in the right
     ballpark (reference README.md:10 claims 76M with >2k speakers)."""
-    cfg = C.lightspeech_76m()
+    cfg = C.lightspeech_flagship()
     model = FastSpeech2(cfg.model)
     batch = make_dummy_batch(cfg.model, batch_size=1, n_phones=8, seed=3)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
