@@ -23,6 +23,17 @@ Backward recomputes P per query tile (no stored probabilities) and
 accumulates dK/dV across query tiles inside the kernel, wired through
 ``jax.custom_vjp``.
 
+NEGATIVE RESULT (round 5, on-chip): the round-4 "split backward" idea —
+a q-tiled dQ pass plus a K-MAJOR dK/dV pass writing each tile once from
+LSE-reconstructed probabilities — is unbuildable on this toolchain: its
+dv contraction (Tk, T) @ (T, d) at Tk=256, T=2048 hangs/aborts the TPU
+AOT compile helper (libtpu Mosaic pipeline), while cross-lowering and
+interpret-mode parity both pass. Minimal repro committed as
+scripts/repro_split_bwd_hang.py; the split path and its LFS2_ATTN_SPLIT_BWD
+flag were deleted per VERDICT r4 item 6 ("measure ... or record the
+negative and delete"). Fused backward measured 24.15 ms/step full-grad
+at B=8 P=256 T=2048 (scripts/ab_split_bwd.py).
+
 Attention-prob dropout (the reference trains with p=0.1) runs inside the
 kernel via the TPU PRNG, seeded per (batch, head, q-tile); the backward
 kernel reseeds identically, so the dropped positions match without ever
@@ -46,14 +57,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _dropout_keep(shape, rate, seed_bh, row0, col0=0, swap=False):
+def _dropout_keep(shape, rate, seed_bh, row0):
     """Tiling-INVARIANT keep mask at probability (1 - rate).
 
     Counter-based xorshift-multiply hash keyed on the GLOBAL (query row,
     key col) coordinates plus a per-(batch, head) seed. Any kernel tiling
-    — forward q-tiles, backward q-tiles of a different size, or k-major
-    tiles slicing the transposed pattern — reproduces the identical mask
-    by passing its block's global offsets.
+    — forward q-tiles, or backward q-tiles of a different size —
+    reproduces the identical mask by passing its block's global row
+    offset.
 
     This replaced the per-tile hardware-PRNG scheme in round 4: the
     forward picks Tq=512 under dropout at T=2048 while the backward's
@@ -63,9 +74,8 @@ def _dropout_keep(shape, rate, seed_bh, row0, col0=0, swap=False):
     the fused-FFN training kernel uses (ops/pallas_ffn.py).
     """
     threshold = jnp.uint32(min(int(rate * (2.0 ** 32)), 2 ** 32 - 1))
-    raxis, caxis = (1, 0) if swap else (0, 1)
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, raxis) + jnp.uint32(row0)
-    c = jax.lax.broadcasted_iota(jnp.uint32, shape, caxis) + jnp.uint32(col0)
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = (r * jnp.uint32(2654435761)) ^ (c * jnp.uint32(1013904223))
     x = x + seed_bh.astype(jnp.uint32)
     x ^= x >> 16
@@ -87,8 +97,8 @@ def _probs(q, kT, key_valid, scale):
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
-def _fwd_kernel(mask_ref, seed_ref, q_ref, kT_ref, v_ref, o_ref, *lse_refs,
-                scale, rate, interpret):
+def _fwd_kernel(mask_ref, seed_ref, q_ref, kT_ref, v_ref, o_ref,
+                *, scale, rate, interpret):
     b, h, qt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     s = jax.lax.dot_general(
         q_ref[0, 0], kT_ref[0, 0], (((1,), (0,)), ((), ())),
@@ -99,18 +109,6 @@ def _fwd_kernel(mask_ref, seed_ref, q_ref, kT_ref, v_ref, o_ref, *lse_refs,
     s = s - m
     p = jnp.exp(s)
     denom = jnp.sum(p, axis=1, keepdims=True)
-    if lse_refs:
-        # log-sum-exp per query row: the split backward reconstructs
-        # normalized probabilities from raw scores as exp(s*scale - lse)
-        # without re-reducing over keys.  Emitted ONLY when the split
-        # backward will consume it (round-4 regression: an unconditional
-        # (1, 1, Tq) out-spec on a (B, H, T) array is illegal under the
-        # Mosaic sublane rule and broke default-path compilation at
-        # T>=1024).  Layout is (B, H, 8, T) with the value broadcast
-        # across the 8 sublanes so the block (1, 1, 8, Tq) is tile-legal.
-        lse_refs[0][0, 0] = jnp.broadcast_to(
-            (m + jnp.log(denom))[:, 0][None, :], (8, p.shape[0])
-        )
     if rate > 0.0:
         seed_bh = seed_ref[0] + b * pl.num_programs(1) + h
         keep = _dropout_keep(p.shape, rate, seed_bh,
@@ -214,26 +212,13 @@ def _pick_bwd_q_tile(T: int) -> int:
     raise ValueError(f"sequence length {T} not a multiple of 128")
 
 
-def _fwd(q, k, v, mask, seed, scale, rate, interpret, need_lse=False):
+def _fwd(q, k, v, mask, seed, scale, rate, interpret):
     B, H, T, d = q.shape
     Tq = _pick_q_tile(T, rate)
     kT = jnp.swapaxes(k, 2, 3)  # (B, H, d, T), one XLA transpose in HBM
     qtile = pl.BlockSpec((1, 1, Tq, d), lambda b, h, qt: (b, h, qt, 0))
     kT_spec = pl.BlockSpec((1, 1, d, T), lambda b, h, qt: (b, h, 0, 0))
     v_spec = pl.BlockSpec((1, 1, T, d), lambda b, h, qt: (b, h, 0, 0))
-    out_specs = qtile
-    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
-    if need_lse:
-        # sublane-broadcast LSE (see _fwd_kernel); 8*T f32 per (b, h) is
-        # 64 KB at T=2048 — negligible HBM for a tile-legal layout
-        out_specs = (
-            qtile,
-            pl.BlockSpec((1, 1, 8, Tq), lambda b, h, qt: (b, h, 0, qt)),
-        )
-        out_shape = (
-            out_shape,
-            jax.ShapeDtypeStruct((B, H, 8, T), jnp.float32),
-        )
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, rate=rate, interpret=interpret
@@ -244,8 +229,8 @@ def _fwd(q, k, v, mask, seed, scale, rate, interpret, need_lse=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             qtile, kT_spec, v_spec,
         ],
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=qtile,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
     )(mask.astype(jnp.int32), jnp.asarray([seed], jnp.int32), q, kT, v)
 
@@ -279,193 +264,19 @@ def _bwd(q, k, v, mask, seed, do, scale, rate, interpret):
       q, k, kT, vT, do)
 
 
-# --------------------------------------------------------------------------
-# split backward: a q-tiled dQ pass + a K-MAJOR dK/dV pass
-# (NOTES_ROUND4 item 6's "(d,T)-layout dK/dV" idea). The fused backward
-# accumulates dK/dV across query tiles with a read-modify-write on the
-# full (T, d) output blocks each grid step; the split form writes each
-# dK/dV tile exactly once from a kernel tiled over KEYS, at the cost of
-# one extra P^T recomputation. Probabilities are reconstructed from the
-# forward's saved log-sum-exp (no re-reduction over keys), and
-# delta_i = sum_j dp~_ij p_drop_ij == (dO . O)_i even under dropout, so
-# the per-query softmax-vjp correction is a cheap XLA elementwise on the
-# saved output. Opt-in via LFS2_ATTN_SPLIT_BWD=1 (read at trace time).
-# --------------------------------------------------------------------------
-
-def _bwd_dq_kernel(mask_ref, seed_ref, lse_ref, delta_ref, q_ref, k_ref,
-                   kT_ref, vT_ref, do_ref, dq_ref, *, scale, rate,
-                   interpret):
-    b, h, qt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    q = q_ref[0, 0]
-    do = do_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, kT_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    s = jnp.where((mask_ref[b, :] > 0)[None, :], s, NEG_INF)
-    # lse/delta ride a (1, 1, 8, Tq) sublane-broadcast block; row 0 is
-    # the value
-    p = jnp.exp(s - lse_ref[0, 0][0][:, None])  # normalized, no re-reduce
-    dp = jax.lax.dot_general(
-        do, vT_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if rate > 0.0:
-        seed_bh = seed_ref[0] + b * pl.num_programs(1) + h
-        keep = _dropout_keep(p.shape, rate, seed_bh, qt * p.shape[0])
-        dp = jnp.where(keep, dp, 0.0) / (1.0 - rate)
-    ds = p * (dp - delta_ref[0, 0][0][:, None]) * scale
-    kk = k_ref[0, 0]
-    dq = jax.lax.dot_general(
-        ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-
-
-def _bwd_dkdv_kernel(mask_ref, seed_ref, lse_ref, delta_ref, k_ref, v_ref,
-                     qT_ref, doT_ref, q_ref, do_ref, dk_ref, dv_ref,
-                     *, scale, rate, interpret):
-    b, h, kt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    k = k_ref[0, 0]            # (Tk, d) key tile
-    Tk = k.shape[0]
-    # sT[j, i] = k_j . q_i — keys are ROWS here, queries are columns
-    sT = jax.lax.dot_general(
-        k, qT_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    key_valid = mask_ref[b, pl.ds(kt * Tk, Tk)] > 0
-    pT = jnp.exp(sT - lse_ref[0, 0][0][None, :])
-    pT = jnp.where(key_valid[:, None], pT, 0.0)
-    # dpT[j, i] = v_j . do_i
-    dpT = jax.lax.dot_general(
-        v_ref[0, 0], doT_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if rate > 0.0:
-        seed_bh = seed_ref[0] + b * pl.num_programs(1) + h
-        # transposed block of the SAME logical mask: logical rows
-        # (queries) ride axis 1 from 0, logical cols (keys) ride axis 0
-        # from this tile's offset
-        keep_t = _dropout_keep(pT.shape, rate, seed_bh, 0,
-                               col0=kt * Tk, swap=True)
-        p_dropT = jnp.where(keep_t, pT, 0.0) / (1.0 - rate)
-        dp_dropT = jnp.where(keep_t, dpT, 0.0) / (1.0 - rate)
-    else:
-        p_dropT = pT
-        dp_dropT = dpT
-    do = do_ref[0, 0]
-    dv = jax.lax.dot_general(
-        p_dropT.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dsT = pT * (dp_dropT - delta_ref[0, 0][0][None, :]) * scale
-    qq = q_ref[0, 0]
-    dk = jax.lax.dot_general(
-        dsT.astype(qq.dtype), qq, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
-
-
-def _pick_k_tile(T: int) -> int:
-    # three (Tk, T) f32 intermediates live (sT/pT, dpT, dsT); same 8 MB
-    # budget discipline as the q-tiled passes
-    budget = 8 * 1024 * 1024
-    for t in (512, 256, 128):
-        if T % t == 0 and 3 * t * T * 4 <= budget:
-            return t
-    raise ValueError(f"sequence length {T} not a multiple of 128")
-
-
-def _bwd_split(q, k, v, mask, seed, o, lse, do, scale, rate, interpret):
-    B, H, T, d = q.shape
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    # same (B, H, 8, T) sublane-broadcast layout as the forward's LSE so
-    # both per-row vectors ride tile-legal (1, 1, 8, Tq) blocks
-    delta = jnp.broadcast_to(delta[:, :, None, :], (B, H, 8, T))
-    kT = jnp.swapaxes(k, 2, 3)
-    vT = jnp.swapaxes(v, 2, 3)
-    qT = jnp.swapaxes(q, 2, 3)
-    doT = jnp.swapaxes(do, 2, 3)
-    mask_i = mask.astype(jnp.int32)
-    seed_a = jnp.asarray([seed], jnp.int32)
-
-    Tq = _pick_bwd_q_tile(T)
-    qtile = pl.BlockSpec((1, 1, Tq, d), lambda b, h, t: (b, h, t, 0))
-    full_td = pl.BlockSpec((1, 1, T, d), lambda b, h, t: (b, h, 0, 0))
-    full_dt = pl.BlockSpec((1, 1, d, T), lambda b, h, t: (b, h, 0, 0))
-    row_tile = pl.BlockSpec((1, 1, 8, Tq), lambda b, h, t: (b, h, 0, t))
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, rate=rate,
-                          interpret=interpret),
-        grid=(B, H, T // Tq),
-        in_specs=[
-            pl.BlockSpec((B, T), lambda b, h, t: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row_tile, row_tile, qtile, full_td, full_dt, full_dt, qtile,
-        ],
-        out_specs=qtile,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret,
-    )(mask_i, seed_a, lse, delta, q, k, kT, vT, do)
-
-    Tk = _pick_k_tile(T)
-    ktile = pl.BlockSpec((1, 1, Tk, d), lambda b, h, t: (b, h, t, 0))
-    full_row = pl.BlockSpec((1, 1, 8, T), lambda b, h, t: (b, h, 0, 0))
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkdv_kernel, scale=scale, rate=rate,
-                          interpret=interpret),
-        grid=(B, H, T // Tk),
-        in_specs=[
-            pl.BlockSpec((B, T), lambda b, h, t: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            full_row, full_row, ktile, ktile, full_dt, full_dt,
-            full_td, full_td,
-        ],
-        out_specs=(ktile, ktile),
-        out_shape=(
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ),
-        interpret=interpret,
-    )(mask_i, seed_a, lse, delta, k, v, qT, doT, q, do)
-    return dq, dk, dv
-
-
-def _split_bwd_enabled() -> bool:
-    import os
-
-    return os.environ.get("LFS2_ATTN_SPLIT_BWD", "0").lower() in (
-        "1", "true", "on")
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_core(q, k, v, mask, seed, scale, rate, interpret):
     return _fwd(q, k, v, mask, seed, scale, rate, interpret)
 
 
 def _flash_fwd(q, k, v, mask, seed, scale, rate, interpret):
-    # LSE is saved ONLY when the split backward will consume it; the
-    # default (fused-backward) forward is byte-identical to the
-    # inference forward — no extra output, no extra out-spec to lower
-    if _split_bwd_enabled():
-        o, lse = _fwd(q, k, v, mask, seed, scale, rate, interpret,
-                      need_lse=True)
-    else:
-        o = _fwd(q, k, v, mask, seed, scale, rate, interpret)
-        lse = None
-    return o, (q, k, v, mask, seed, o, lse)
+    o = _fwd(q, k, v, mask, seed, scale, rate, interpret)
+    return o, (q, k, v, mask, seed)
 
 
 def _flash_bwd(scale, rate, interpret, res, do):
-    q, k, v, mask, seed, o, lse = res
-    if lse is not None:
-        dq, dk, dv = _bwd_split(q, k, v, mask, seed, o, lse, do, scale,
-                                rate, interpret)
-    else:
-        dq, dk, dv = _bwd(q, k, v, mask, seed, do, scale, rate, interpret)
+    q, k, v, mask, seed = res
+    dq, dk, dv = _bwd(q, k, v, mask, seed, do, scale, rate, interpret)
     return dq, dk, dv, None, None
 
 

@@ -11,10 +11,18 @@ ops/pallas_attention.py) without needing a TPU.
 
 These tests do NOT check numerics (the interpret-mode parity suites do);
 they check that every kernel entry point LOWERS at flagship shapes:
-attention fwd/fused-bwd/split-bwd x dropout on/off x T in {512,1024,2048},
-the fused-FFN inference + training twins, the length regulator fwd/bwd,
+attention fwd/fused-bwd x dropout on/off x T in {512,1024,2048}, the
+fused-FFN inference + training twins, the length regulator fwd/bwd,
 soft-DTW fwd/bwd, the HiFi-GAN fused resblock + trio, and the FastDiff
 LVC stack.
+
+Known limitation (round-5 finding): a PASSING cross-lowering does not
+guarantee the TPU backend compile succeeds — the deleted split-backward
+dK/dV kernel lowered cleanly here yet hung the libtpu AOT compiler
+(scripts/repro_split_bwd_hang.py), and VMEM-overflow aborts also only
+surface at backend compile. Lowering legality is a necessary, not
+sufficient, gate; on-chip smoke compiles (bench.py, the CLI drives)
+remain the final word.
 """
 
 import functools
@@ -60,23 +68,6 @@ def test_attention_fused_bwd_lowers(T, rate):
 
     q = jnp.zeros((2, 2, T, 128), jnp.float32)
     mask = jnp.ones((2, T), bool)
-    lower_tpu(
-        jax.grad(
-            lambda q: flash_attention(
-                q, q, q, mask, dropout_rate=rate, seed=3
-            ).sum()
-        ),
-        q,
-    )
-
-
-@pytest.mark.parametrize("rate", [0.0, 0.1])
-def test_attention_split_bwd_lowers(rate, monkeypatch):
-    from lightningfastspeech2_tpu.ops.pallas_attention import flash_attention
-
-    monkeypatch.setenv("LFS2_ATTN_SPLIT_BWD", "1")
-    q = jnp.zeros((2, 2, 2048, 128), jnp.float32)
-    mask = jnp.ones((2, 2048), bool)
     lower_tpu(
         jax.grad(
             lambda q: flash_attention(

@@ -216,53 +216,3 @@ def test_dropout_mask_tiling_invariant_and_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3,
                                    err_msg=f"d{name} mismatch")
-
-
-def test_split_backward_matches_fused(monkeypatch):
-    """LFS2_ATTN_SPLIT_BWD=1 routes the VJP through the q-tiled dQ pass +
-    k-major dK/dV pass; gradients must match the fused backward (and the
-    reference) with masks AND dropout active, at a shape where q- and
-    k-tiles differ from the forward tile."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    from lightningfastspeech2_tpu.ops.pallas_attention import flash_attention
-
-    B, H, T, d = 2, 2, 1024, 32
-    rate, seed = 0.25, 5
-    g = np.random.default_rng(11)
-    q = jnp.asarray(g.standard_normal((B, H, T, d)), jnp.float32)
-    k = jnp.asarray(g.standard_normal((B, H, T, d)), jnp.float32)
-    v = jnp.asarray(g.standard_normal((B, H, T, d)), jnp.float32)
-    mask = jnp.asarray(g.uniform(size=(B, T)) > 0.15)
-    do = jnp.asarray(g.standard_normal((B, H, T, d)), jnp.float32)
-
-    def loss(q, k, v):
-        o = flash_attention(q, k, v, mask, dropout_rate=rate, seed=seed,
-                            interpret=True)
-        return jnp.vdot(o, do)
-
-    monkeypatch.delenv("LFS2_ATTN_SPLIT_BWD", raising=False)
-    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-    monkeypatch.setenv("LFS2_ATTN_SPLIT_BWD", "1")
-    g_split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-    for name, a, b in zip("qkv", g_split, g_fused):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4,
-                                   err_msg=f"d{name} split-vs-fused")
-
-    # no dropout + no mask path too
-    def loss2(q, k, v):
-        o = flash_attention(q, k, v, None, dropout_rate=0.0, seed=0,
-                            interpret=True)
-        return jnp.vdot(o, do)
-
-    monkeypatch.delenv("LFS2_ATTN_SPLIT_BWD", raising=False)
-    g_fused2 = jax.grad(loss2, argnums=(0, 1, 2))(q, k, v)
-    monkeypatch.setenv("LFS2_ATTN_SPLIT_BWD", "1")
-    g_split2 = jax.grad(loss2, argnums=(0, 1, 2))(q, k, v)
-    for name, a, b in zip("qkv", g_split2, g_fused2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4,
-                                   err_msg=f"d{name} split-vs-fused nodrop")
