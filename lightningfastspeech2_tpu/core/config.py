@@ -343,14 +343,24 @@ def lightspeech_true76m() -> Config:
     depthwise-conformer layers, conv filter 2560 (= 4x hidden — the grouped
     conv fold requires filter % hidden == 0), d-vectors over 2500 speakers.
 
+    heads=5 (round 5): head_dim = 640/5 = 128 exactly fills the MXU's
+    128 lanes and makes the flash-attention kernel eligible
+    (models/layers.py _flash_ok requires head_dim % 128 == 0); the
+    round-4 value of 2 heads gave head_dim 320 — misaligned AND
+    flash-ineligible. Param count is unchanged (QKV/out projections
+    depend only on hidden). This is our own scale config, not a
+    reference-parity surface, so the TPU-native choice wins.
+
     This realises the reference README's 76M-class scale target
     (reference README.md:10) which no in-tree reference config reaches;
     used by bench.py for the north-star "audio-s/s at 76M" row.
     """
     base = ModelConfig(speaker_type="dvector", n_speakers=2500)
-    enc = replace(base.encoder, hidden=640, layers=8, conv_filter_size=2560,
+    enc = replace(base.encoder, hidden=640, layers=8, heads=5,
+                  conv_filter_size=2560,
                   kernel_sizes=(5, 25, 13, 9, 17, 21, 9, 13))
-    dec = replace(base.decoder, hidden=640, layers=7, conv_filter_size=2560,
+    dec = replace(base.decoder, hidden=640, layers=7, heads=5,
+                  conv_filter_size=2560,
                   kernel_sizes=(17, 21, 9, 13, 5, 25, 13))
     model = dataclasses.replace(base, encoder=enc, decoder=dec)
     return Config(model=model)

@@ -160,11 +160,24 @@ def train_denoiser(
     opt = tx.init(params)
 
     def loss_fn(params, clean_mag, noisy_mag):
-        out = jax.vmap(lambda m: apply_mask_net(params, m))(noisy_mag)
+        # supervise the RATIO MASK directly (ideal mask = clean/noisy,
+        # clipped to [0,1]), magnitude-weighted so audible bins dominate.
+        # The round-4 magnitude-L1 objective had a trivial basin — with
+        # noise energy above speech energy on average, "mask=0
+        # everywhere" beats "mask=1 everywhere" and sigmoid saturation
+        # keeps the net there (shipped weights measured mask ~= floor on
+        # ALL input, i.e. a uniform -30 dB gain: SI-SNR delta exactly 0).
+        def one(m):
+            x = _normalize(jnp.log(m + 1e-6))
+            return MaskNet().apply({"params": params}, x)
+
+        mask = jax.vmap(one)(noisy_mag)
+        target = jnp.clip(clean_mag / (noisy_mag + 1e-6), 0.0, 1.0)
+        w = jnp.log1p(noisy_mag)
+        l_mask = jnp.sum(w * jnp.abs(mask - target)) / jnp.sum(w)
+        out = noisy_mag * jnp.maximum(mask, 0.03)
         l_mag = jnp.mean(jnp.abs(out - clean_mag))
-        l_log = jnp.mean(jnp.abs(jnp.log(out + 1e-6)
-                                 - jnp.log(clean_mag + 1e-6)))
-        return l_mag + 0.1 * l_log
+        return l_mask + 0.1 * l_mag
 
     @jax.jit
     def step(params, opt, clean_mag, noisy_mag):
