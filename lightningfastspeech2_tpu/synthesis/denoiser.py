@@ -55,11 +55,31 @@ def _normalize(logmag: jnp.ndarray) -> jnp.ndarray:
     return (logmag - mu) / sd
 
 
-def apply_mask_net(params, mag: jnp.ndarray,
-                   floor: float = 0.03) -> jnp.ndarray:
+def apply_mask_net(params, mag: jnp.ndarray, floor: float = 0.03,
+                   frame_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Masked magnitude; ``floor`` matches the DSP chain's spectral floor
-    so residual noise stays broadband instead of going musical."""
-    x = _normalize(jnp.log(mag + 1e-6))
+    so residual noise stays broadband instead of going musical.
+
+    ``frame_valid``: (T,) bool — when the caller zero-padded the signal
+    to a bucket (synthesis/restore.py does), the normalization stats
+    MUST come from the valid frames only: padded log-magnitudes sit at
+    log(1e-6), dragging the global mean far down so real content all
+    looks "loud" and the mask opens to ~1 (measured round 5: mask mean
+    0.78 padded vs 0.06 unpadded on the same noisy signal — the entire
+    denoise effect vanished in the serving chain)."""
+    logm = jnp.log(mag + 1e-6)
+    if frame_valid is None:
+        x = _normalize(logm)
+    else:
+        w = frame_valid.astype(logm.dtype)[:, None]
+        n = jnp.maximum(jnp.sum(w) * logm.shape[1], 1.0)
+        mu = jnp.sum(logm * w) / n
+        var = jnp.sum(jnp.square(logm - mu) * w) / n
+        x = (logm - mu) / (jnp.sqrt(var) + 1e-5)
+        # keep padded frames at the distribution's silence level rather
+        # than an extreme outlier the convs never trained on
+        valid_min = jnp.min(jnp.where(w > 0, x, jnp.inf))
+        x = jnp.where(w > 0, x, valid_min)
     mask = MaskNet().apply({"params": params}, x)
     return mag * jnp.maximum(mask, floor)
 

@@ -176,15 +176,21 @@ def band_replicate(
     return istft(out, x.shape[0])
 
 
-def neural_denoise(x: jnp.ndarray, dn_params) -> jnp.ndarray:
+def neural_denoise(x: jnp.ndarray, dn_params, length=None) -> jnp.ndarray:
     """Learned-mask denoise (synthesis/denoiser.py): the VoiceFixer-slot
     *neural* prior the DSP chain lacked — masks the magnitude, keeps the
-    phase, same floor as the spectral gate."""
+    phase, same floor as the spectral gate. ``length`` (valid samples of
+    a bucket-padded x) keeps the mask net's normalization on REAL frames
+    — without it the zero pad drags the stats and the mask goes
+    transparent (denoiser.apply_mask_net docstring)."""
     from lightningfastspeech2_tpu.synthesis.denoiser import apply_mask_net
 
     spec = stft(x)
     mag = jnp.abs(spec)
-    masked = apply_mask_net(dn_params, mag)
+    frame_valid = None
+    if length is not None:
+        frame_valid = jnp.arange(mag.shape[0]) * _HOP < length
+    masked = apply_mask_net(dn_params, mag, frame_valid=frame_valid)
     phase = spec / jnp.maximum(mag, 1e-8)
     return istft(phase * masked, x.shape[0])
 
@@ -204,7 +210,7 @@ def _restore_padded(
     del bucket  # shapes carry it; static arg keys the jit cache
     y = declip(x, threshold)
     if dn_params is not None:
-        y = neural_denoise(y, dn_params)
+        y = neural_denoise(y, dn_params, length=length)
     else:
         y = spectral_denoise(y, length, strength=strength)
     y = upsample_2x(y)
