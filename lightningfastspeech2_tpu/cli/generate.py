@@ -201,8 +201,12 @@ def load_generator(args):
                     Checkpointer,
                 )
 
-                tree, _, sidecar = Checkpointer(hc).restore()
-                gc = (sidecar or {}).get("hifigan_config")
+                # locals must NOT shadow the acoustic checkpoint's tree/
+                # sidecar — a clobber here cost sentence-mode its speaker
+                # and prior tables whenever --hifigan_checkpoint was a
+                # trainer dir (round-5 regression find)
+                voc_tree, _, voc_sidecar = Checkpointer(hc).restore()
+                gc = (voc_sidecar or {}).get("hifigan_config")
                 if gc:
                     voc_cfg = hg.HifiGanConfig(
                         resblock=gc["resblock"],
@@ -220,7 +224,7 @@ def load_generator(args):
                         sampling_rate=gc["sampling_rate"],
                     )
                 params = jax.tree_util.tree_map(
-                    np.asarray, tree["params"]["gen"]
+                    np.asarray, voc_tree["params"]["gen"]
                 )
             else:
                 params = hg.load_torch_generator(args.hifigan_checkpoint,

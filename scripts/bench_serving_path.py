@@ -51,7 +51,7 @@ def main():
 
     args = build_parser().parse_args()
     assert args.checkpoint_dir, "--checkpoint_dir required"
-    gen = load_generator(args)
+    gen, _, _ = load_generator(args)
 
     import jax
 

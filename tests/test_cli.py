@@ -98,3 +98,69 @@ def test_warm_start_resume(corpus, tmp_path):
                              "--max_steps", "2",
                              "--from_checkpoint", str(ckpt1)])
     assert (ckpt2 / "latest").exists()
+
+
+def test_trained_vocoder_dir_keeps_speaker_tables(corpus, tmp_path):
+    """Regression (round 5): with --hifigan_checkpoint pointing at a
+    cli.train_vocoder directory, load_generator's vocoder branch used to
+    clobber the ACOUSTIC checkpoint's sidecar local — sentence mode lost
+    every speaker/prior table (random-speaker selection crashed on an
+    empty list, named speakers failed lookups). The tables must survive
+    and sentence mode must run end-to-end through the trained vocoder."""
+    from lightningfastspeech2_tpu.cli import generate as gen_cli
+    from lightningfastspeech2_tpu.cli import train as train_cli
+    from lightningfastspeech2_tpu.cli import train_vocoder as voc_cli
+
+    ckpt_dir = tmp_path / "ckpts"
+    train_cli.main([
+        "--train_target_path", str(corpus),
+        "--checkpoint_dir", str(ckpt_dir),
+        "--log_dir", str(tmp_path / "logs"),
+        "--max_steps", "2", "--batch_size", "2",
+        "--variances", "pitch",
+        "--variance_levels", "phone",
+        "--variance_transforms", "none",
+        "--variance_nlayers", "2",
+        "--encoder_hidden", "32", "--decoder_hidden", "32",
+        "--encoder_layers", "1", "--decoder_layers", "1",
+        "--encoder_kernel_sizes", "3", "--decoder_kernel_sizes", "3",
+        "--encoder_conv_filter_size", "64",
+        "--decoder_conv_filter_size", "64",
+        "--variance_filter_size", "32", "--duration_filter_size", "32",
+        "--stat_entries", "4", "--augment_duration", "0",
+        "--precision", "32", "--checkpoint_every", "100",
+        "--log_every", "1",
+        "--speaker_type", "dvector",
+    ])
+
+    voc_ckpt = tmp_path / "voc_ckpts"
+    voc_cli.main([
+        "--train_target_path", str(corpus),
+        "--checkpoint_dir", str(voc_ckpt),
+        "--log_dir", str(tmp_path / "voc_logs"),
+        "--max_steps", "2", "--checkpoint_every", "1", "--log_every", "1",
+        "--upsample_rates", "8", "2",
+        "--upsample_kernel_sizes", "16", "4",
+        "--upsample_initial_channel", "16",
+        "--resblock_kernel_sizes", "3",
+        "--segment_size", "1024", "--batch_size", "2",
+    ])
+
+    args = gen_cli.build_parser().parse_args([
+        "--checkpoint_dir", str(ckpt_dir),
+        "--hifigan_checkpoint", str(voc_ckpt),
+        "--lexicon_path", "none", "--g2p_model", "none",
+    ])
+    gen, _, sidecar = gen_cli.load_generator(args)
+    assert gen.speaker2dvector, "vocoder sidecar clobbered speaker tables"
+    assert sidecar.get("speaker2dvector"), "acoustic sidecar lost"
+
+    out = tmp_path / "out"
+    gen_cli.main([
+        "--checkpoint_dir", str(ckpt_dir),
+        "--hifigan_checkpoint", str(voc_ckpt),
+        "--output_path", str(out),
+        "--sentence", "hello.",
+        "--lexicon_path", "none", "--g2p_model", "none",
+    ])
+    assert (out / "sentence.wav").exists()
