@@ -83,6 +83,20 @@ class SpeechGenerator:
 
         self.frame_bucketing = _os.environ.get(
             "LFS2_SERVE_BUCKETS", "1").lower() not in ("0", "false", "off")
+        # Vocoder bucketing (round 5): vocode the mel at its STATIC
+        # bucket length (padded frames forced to the front-end's silence
+        # floor, log10(1e-6) = -6) and trim the waveform to
+        # n_valid_frames*hop. Without this every distinct utterance
+        # length compiled its own vocoder program — measured: the
+        # serving-path bench spent >10 min in per-length vocoder
+        # compiles through the tunnel. Per-bucket static shapes are the
+        # XLA-native contract everywhere else in this repo; edge cost is
+        # one receptive field of synthesized trailing silence, exactly
+        # like a naturally-ending utterance. Opt out with
+        # LFS2_VOCODER_BUCKETS=0 (per-length exact vocoding).
+        self.vocoder_bucketing = _os.environ.get(
+            "LFS2_VOCODER_BUCKETS", "1").lower() not in ("0", "false",
+                                                         "off")
         self._dur_infer = jax.jit(
             lambda params, batch, rng: self.model.apply(
                 {"params": params}, batch, inference=True, deterministic=True,
@@ -229,14 +243,26 @@ class SpeechGenerator:
             mel_out = mel_out + result["fastdiff_var"]
         mels = np.asarray(mel_out, np.float32)
         mask = np.asarray(result["frame_mask"])
+        hop = self.cfg.model.audio.hop_length
         audios = []
         for i in range(len(mels)):
             mel = mels[i][mask[i]]
             if self.synthesiser is not None:
-                wav = np.asarray(self.synthesiser(mel), np.float32)
-                if wav.ndim > 1:
-                    wav = wav[0]
-                wav = wav / 32768.0
+                if self.vocoder_bucketing:
+                    # static bucket-length vocoder input; padded frames
+                    # at the log-mel silence floor, wav cut at the valid
+                    # frame count (see __init__ comment)
+                    mel_in = np.where(
+                        mask[i][:, None], mels[i], np.float32(-6.0))
+                    wav = np.asarray(self.synthesiser(mel_in), np.float32)
+                    if wav.ndim > 1:
+                        wav = wav[0]
+                    wav = wav[: int(mask[i].sum()) * hop] / 32768.0
+                else:
+                    wav = np.asarray(self.synthesiser(mel), np.float32)
+                    if wav.ndim > 1:
+                        wav = wav[0]
+                    wav = wav / 32768.0
             else:  # no vocoder: return mel frames flattened as a stub signal
                 wav = mel.reshape(-1)
             if self.postprocess is not None:

@@ -210,3 +210,57 @@ def test_bucketed_serving_matches_full_bucket():
     err = np.linalg.norm(wav_bucketed - wav_full)
     snr = 20 * np.log10(np.linalg.norm(wav_full) / max(err, 1e-12))
     assert snr > 55.0, f"bucketed-vs-full SNR {snr:.1f} dB"
+
+
+def test_vocoder_bucketing_static_shapes_and_trim(monkeypatch):
+    """Round 5: the vocoder must see the STATIC bucket-length mel (padded
+    frames at the log-mel silence floor) and the returned wav must be
+    trimmed to n_valid_frames*hop — per-utterance-length vocoder inputs
+    recompiled the vocoder for every distinct length (measured >10 min of
+    tunnel compiles in the serving-path bench)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightningfastspeech2_tpu.data.vocab import Vocab
+    from lightningfastspeech2_tpu.models.fastspeech2 import (
+        FastSpeech2, init_params, make_dummy_batch,
+    )
+    from lightningfastspeech2_tpu.synthesis.generator import SpeechGenerator
+    from tests.test_model import tiny_config
+
+    cfg = tiny_config(max_frames=128)
+    hop = cfg.model.audio.hop_length
+    model = FastSpeech2(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in make_dummy_batch(cfg.model, 1, 8).items()}
+    params = init_params(model, jax.random.PRNGKey(0), batch)["params"]
+
+    g2p = EnglishG2P()
+    vocab = Vocab(sorted(set(g2p("hello world."))))
+
+    seen = []
+
+    def fake_synth(mel):
+        seen.append(np.asarray(mel).shape)
+        return np.zeros(len(mel) * hop, np.float32)
+
+    gen = SpeechGenerator(
+        cfg, model, params, vocab, g2p, synthesiser=fake_synth,
+        speaker2dvector={"spk0": np.zeros(16, np.float32)},
+    )
+    assert gen.vocoder_bucketing  # default on
+    wav = gen.generate_from_text("hello world.", speaker="spk0", seed=0)
+    # the vocoder saw a full static-bucket mel ...
+    (shape,) = seen
+    assert shape[0] in gen.bucketer.frame_buckets or \
+        shape[0] == cfg.model.max_frames
+    # ... and the output was trimmed to the valid frames
+    assert len(wav) % hop == 0 and len(wav) <= shape[0] * hop
+
+    # opt-out restores exact-length vocoding
+    seen.clear()
+    gen.vocoder_bucketing = False
+    wav2 = gen.generate_from_text("hello world.", speaker="spk0", seed=0)
+    (shape2,) = seen
+    assert shape2[0] * hop == len(wav2) * 32768 // 32768  # exact length
+    assert shape2[0] <= shape[0]
