@@ -61,13 +61,21 @@ def main():
     sr = gen.sampling_rate
     rng_seed = 0
 
+    hop = gen.cfg.model.audio.hop_length
+    n_mels = gen.cfg.model.audio.n_mels
+
     def run_all(label):
         total_audio = 0.0
         t0 = time.perf_counter()
         for i, s in enumerate(SENTENCES):
             wav = gen.generate_from_text(s, seed=rng_seed + i,
                                          prior_strategy="sample")
-            total_audio += len(wav) / gen.output_sampling_rate
+            if gen.synthesiser is None:
+                # no-vocoder stub returns flattened mel frames: audio
+                # seconds = frames * hop / sr, not len/sr
+                total_audio += (len(wav) // n_mels) * hop / sr
+            else:
+                total_audio += len(wav) / gen.output_sampling_rate
         dt = time.perf_counter() - t0
         print(f"{label}: {total_audio:6.2f} audio-s in {dt:6.3f} s "
               f"-> {total_audio / dt:8.1f} audio-s/s")
