@@ -142,6 +142,18 @@ class SpeechGenerator:
     def text_to_ids(self, text: str) -> np.ndarray:
         phones = self.g2p(text)
         ids = [self.vocab.phone2id[p] for p in phones if p in self.vocab.phone2id]
+        if phones and not ids:
+            # every phone fell outside the checkpoint's vocabulary —
+            # synthesis would be an empty (or all-pad) utterance. Common
+            # cause: a lexicon/neural G2P emitting a different phone set
+            # than the corpus the model trained on.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "text_to_ids: none of %d G2P phones exist in the model "
+                "vocabulary (%d entries) — synthesis will be empty. "
+                "Check --lexicon_path/--g2p_model against the training "
+                "corpus phone set.", len(phones), len(self.vocab.phone2id))
         return np.asarray(ids, dtype=np.int64)
 
     def _pick_speaker(
