@@ -550,6 +550,31 @@ def _wl_serving_e2e(S, extra):
         b_rate, b_dt = _rate(b_step, jnp.zeros(()), iters, bucket_audio_s)
         extra["inference_bucket512_audio_s_per_s"] = round(b_rate, 2)
         extra["inference_bucket512_step_ms"] = round(b_dt * 1e3, 3)
+
+        # device-scan twin: the chained host loop on this row has shown
+        # 6x tunnel-noise swings between runs (r5: 1.77 vs 10.48 ms);
+        # the scan excludes per-dispatch overhead and is authoritative
+        @jax.jit
+        def infer_b_scan(params, batch):
+            def body(c, _):
+                b = dict(batch)
+                b["speaker"] = batch["speaker"] + c * 1e-30
+                out = model_b.apply(params, b, inference=True,
+                                    deterministic=True,
+                                    rngs={"sdp": jax.random.PRNGKey(0)})
+                return out["duration_rounded"][0, 0].astype(jnp.float32), None
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+            return c
+
+        import time as _t
+
+        float(infer_b_scan(params, batch_b))
+        t0 = _t.perf_counter()
+        float(infer_b_scan(params, batch_b))
+        sdt = (_t.perf_counter() - t0) / iters
+        extra["inference_bucket512_scan_step_ms"] = round(sdt * 1e3, 3)
+        extra["inference_bucket512_scan_audio_s_per_s"] = round(
+            bucket_audio_s / sdt, 2)
     except Exception as e:  # pylint: disable=broad-except
         extra["inference_bucket_error"] = _errstr(e)
 
