@@ -226,6 +226,18 @@ def _wl_headline(S, extra):
             f"{dt_scan*1e3:.2f} ms/step; using device-scan rate"
         )
         headline = audio_seconds / dt_scan
+    elif dt_tf >= 1.5 * dt_scan:
+        # symmetric guard (round 5): a tunnel latency storm inflated the
+        # chained loop 6x while the on-chip scan stayed at its usual
+        # ~7.6 ms — healthy sessions measure chain_ratio 0.92-1.2, so
+        # beyond 1.5x the extra time is dispatch stalls, not compute.
+        # The scan is the hardware truth either way.
+        extra["headline_chain_warning"] = (
+            f"host-loop {dt_tf*1e3:.2f} ms/step >> device scan "
+            f"{dt_scan*1e3:.2f} ms/step (tunnel latency); using "
+            f"device-scan rate"
+        )
+        headline = audio_seconds / dt_scan
     return headline
 
 
